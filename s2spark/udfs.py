@@ -1,0 +1,83 @@
+"""Arrow-batched pandas UDFs wrapping the numpy kernels.
+
+The only JVM→Python crossings in the engine (SURVEY.md §3.1): encode,
+decode, neighbor expansion, and exact-verify predicates. Each is a
+scalar pandas UDF — one Arrow batch in, one numpy kernel call, one
+Arrow batch out; no per-row Python anywhere (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from s2spark.kernels import cellops, hilbert
+
+
+def _u64_to_i64(a: np.ndarray) -> np.ndarray:
+    return a.view(np.int64) if a.dtype == np.uint64 else a.astype(np.int64)
+
+
+@F.pandas_udf(LongType())
+def s2_cell_id(lat: pd.Series, lng: pd.Series) -> pd.Series:
+    """leaf (level-30) cell id from degrees (``CellId.from_lat_lng``)."""
+    ids = hilbert.lat_lng_to_cell_id(lat.to_numpy(np.float64),
+                                     lng.to_numpy(np.float64))
+    return pd.Series(_u64_to_i64(ids))
+
+
+@F.pandas_udf(StructType([StructField("lat", DoubleType()),
+                          StructField("lng", DoubleType())]))
+def s2_to_lat_lng(cell_id: pd.Series) -> pd.DataFrame:
+    """cell center in degrees (``CellId.to_lat_lng``)."""
+    lat, lng = hilbert.cell_id_to_lat_lng(
+        cell_id.to_numpy(np.int64).view(np.uint64))
+    return pd.DataFrame({"lat": lat, "lng": lng})
+
+
+def s2_neighbors_udf(lvl: int):
+    """UDF factory: array of the 8 Moore neighbors at level ``lvl``
+    (``CellId.get_all_neighbors``). Input ids must be at ``lvl``."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _nbrs(cell_id: pd.Series) -> pd.Series:
+        ids = cell_id.to_numpy(np.int64).view(np.uint64)
+        nb = cellops.get_all_neighbors(ids, lvl)  # (N, 8) uint64
+        nb_i64 = nb.view(np.int64)
+        return pd.Series(list(nb_i64))
+
+    return _nbrs
+
+
+def s2_edge_neighbors_udf(lvl: int):
+    """UDF factory: array of the 4 edge neighbors at level ``lvl``
+    (``CellId.get_edge_neighbors``)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _nbrs(cell_id: pd.Series) -> pd.Series:
+        ids = cell_id.to_numpy(np.int64).view(np.uint64)
+        nb = cellops.get_edge_neighbors(ids, lvl).view(np.int64)
+        return pd.Series(list(nb))
+
+    return _nbrs
+
+
+@F.pandas_udf(DoubleType())
+def s2_chord_dist2(lat1: pd.Series, lng1: pd.Series,
+                   lat2: pd.Series, lng2: pd.Series) -> pd.Series:
+    """squared chord distance |p1 - p2|² between two lat/lng points —
+    monotone in angle, exact-arithmetic-friendly (kNN ranking metric)."""
+    x1, y1, z1 = hilbert.lat_lng_to_xyz(lat1.to_numpy(np.float64),
+                                        lng1.to_numpy(np.float64))
+    x2, y2, z2 = hilbert.lat_lng_to_xyz(lat2.to_numpy(np.float64),
+                                        lng2.to_numpy(np.float64))
+    dx, dy, dz = x1 - x2, y1 - y2, z1 - z2
+    return pd.Series(dx * dx + dy * dy + dz * dz)
