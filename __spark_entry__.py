@@ -3,36 +3,292 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``s2spark`` — S2 Hilbert tiling + spatial joins, Spark-first
+(SURVEY.md §2 inventory; each query below names the operator rows it
+covers).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from s2spark import columns as CC  # noqa: E402
+from s2spark import fixtures as FX  # noqa: E402
+from s2spark import joins as J  # noqa: E402
+from s2spark import synth  # noqa: E402
+
+_COV_CACHE: dict = {}
+
+
+def _coverings():
+    """covering rows are pure functions of the fixture constants —
+    compute once per process."""
+    if "rows" not in _COV_CACHE:
+        _COV_CACHE["rows"] = J.compute_coverings(FX.region_objects())
+        _COV_CACHE["params"] = FX.region_params()
+    return _COV_CACHE["rows"], _COV_CACHE["params"]
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive points from sf0.001 lineitem, S2-encode, assign
+    level-12 tiles (pure Column bit math), spatial-join against the
+    fixture regions (broadcast interval-stab variant), aggregate per
+    (region, tile)."""
+    sf_dir = "/root/testdata/sf0.001"
+    cov_rows, params = _coverings()
+    pts = FX.points_df(spark, sf_dir)
+    return J.raster_vector_align(pts, cov_rows, params, level=8)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode + parent tiling + per-tile counts (SURVEY §2.1 + §2.2
+    parent). Rows-only check (Hilbert encode is not SQL-expressible);
+    bit-exactness is covered by kernel parity/golden tests."""
+    pts = J.with_cell_id(FX.points_df(spark, sf_dir))
+    return pts.withColumn("tile_id", CC.parent("cell_id", 12)) \
+        .groupBy(CC.token("tile_id").alias("tile_token")) \
+        .agg(F.count("*").alias("n_points")) \
+        .orderBy("tile_token")
+
+
+def _q_cell_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parent/level/range/token/sortable as pure Column exprs over
+    synthetic valid ids (SURVEY §2.2), full value-hash oracle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(
+        (F.col("l_orderkey") * F.lit(1000000)
+         + F.col("l_partkey") * F.lit(100)
+         + F.col("l_suppkey")).alias("point_id"),
+        synth.synth_cell_col().alias("cell_id"))
+    return df.select(
+        "point_id", "cell_id",
+        CC.level("cell_id").alias("lvl"),
+        CC.parent("cell_id", 8).alias("parent_l8"),
+        CC.parent("cell_id", 4).alias("parent_l4"),
+        CC.range_min("cell_id").alias("range_min"),
+        CC.range_max("cell_id").alias("range_max"),
+        CC.token("cell_id").alias("token"),
+        CC.sortable("cell_id").alias("sortable"),
+        CC.face("cell_id").alias("face"),
+    )
+
+
+def _q_cell_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """child enumeration via explode (SURVEY §2.2 child/children)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(
+        (F.col("l_orderkey") * F.lit(1000000)
+         + F.col("l_partkey") * F.lit(100)
+         + F.col("l_suppkey")).alias("point_id"),
+        synth.synth_cell_col().alias("cell_id"))
+    return df.select(
+        "point_id",
+        F.explode(CC.children_array("cell_id", 13)).alias("child_id"))
+
+
+def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-level tile rollup — Hilbert levels nest perfectly so
+    ROLLUP is semantically exact (SURVEY §2.8 aggregations)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(synth.synth_cell_col().alias("cell_id"),
+                   F.col("l_quantity"))
+    return df \
+        .withColumn("tile_l4", CC.token(CC.parent("cell_id", 4))) \
+        .withColumn("tile_l8", CC.token(CC.parent("cell_id", 8))) \
+        .rollup("tile_l4", "tile_l8") \
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty")) \
+        .select(F.coalesce("tile_l4", F.lit("ALL")).alias("tile_l4"),
+                F.coalesce("tile_l8", F.lit("ALL")).alias("tile_l8"),
+                "n_rows", "sum_qty")
+
+
+def _q_pip_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """point-in-region via broadcast interval-stab join + exact verify
+    (SURVEY §2.5a); oracle = brute-force exact geometry."""
+    cov_rows, params = _coverings()
+    return J.pip_join_broadcast(FX.points_df(spark, sf_dir),
+                                cov_rows, params)
+
+
+def _q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """same join as a salted shuffle equi-join on cell-id prefix
+    buckets (SURVEY §2.5c) — must equal the broadcast variant AND the
+    oracle."""
+    cov_rows, params = _coverings()
+    cov_df = J.coverings_df(spark, cov_rows)
+    return J.pip_join_salted(FX.points_df(spark, sf_dir), cov_df, params)
+
+
+def _q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI form: points contained in NO region (SURVEY §2.5
+    semi/anti)."""
+    cov_rows, params = _coverings()
+    pts = FX.points_df(spark, sf_dir)
+    return J.pip_semi(pts, cov_rows, params, negate=True) \
+        .select("point_id")
+
+
+def _q_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-region aggregates over the PIP join (SURVEY §2.8)."""
+    cov_rows, params = _coverings()
+    pts = FX.points_df(spark, sf_dir)
+    m = J.pip_join_broadcast(pts, cov_rows, params,
+                             extra_cols=("lat", "lng"))
+    return m.groupBy("region_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lng"), 4).alias("avg_lng"))
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact kNN via progressive cell-neighbor rings (SURVEY §2.3 +
+    §2.5 kNN row); oracle = brute-force distances."""
+    return J.knn_join(spark, FX.points_df(spark, sf_dir), FX.KNN_QUERIES,
+                      level=6)
+
+
+def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster tile <-> vector covering alignment (SURVEY §2.5 raster
+    row). Rows-only (tile ids need the encoder); the region/point
+    membership underneath is oracle-checked by q_pip_broadcast."""
+    cov_rows, params = _coverings()
+    return J.raster_vector_align(FX.points_df(spark, sf_dir), cov_rows,
+                                 params, level=8)
+
+
+def _q_knn_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token round-trip: format + parse back + face extraction over
+    synthetic ids (SURVEY §2.2 tokens/validity)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(
+        (F.col("l_orderkey") * F.lit(1000000)
+         + F.col("l_partkey") * F.lit(100)
+         + F.col("l_suppkey")).alias("point_id"),
+        synth.synth_cell_col().alias("cell_id"))
+    return df.select(
+        "point_id",
+        CC.from_token(CC.token("cell_id")).alias("parsed_id"),
+        CC.is_valid("cell_id").cast("boolean").alias("valid"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": _q_tile_assign,
+        "cell_algebra": _q_cell_algebra,
+        "cell_children": _q_cell_children,
+        "tile_rollup": _q_tile_rollup,
+        "token_roundtrip": _q_knn_tokens,
+        "pip_broadcast": _q_pip_broadcast,
+        "pip_salted": _q_pip_salted,
+        "pip_anti": _q_pip_anti,
+        "region_stats": _q_region_stats,
+        "knn": _q_knn,
+        "raster_vector": _q_raster_vector,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_PID = "l_orderkey * 1000000 + l_partkey * 100 + l_suppkey"
+_SC = "sc"  # alias for the synthetic cell id
+
+
+def _synth_base() -> str:
+    return (f"SELECT {_PID} AS point_id, ({synth.SYNTH_CELL_SQL.strip()}) "
+            f"AS {_SC} FROM lineitem")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s = _SC
+    cell_algebra = f"""
+WITH t AS ({_synth_base()})
+SELECT point_id, {s} AS cell_id,
+       {synth.level_sql(s)} AS lvl,
+       {synth.parent_sql(s, 8)} AS parent_l8,
+       {synth.parent_sql(s, 4)} AS parent_l4,
+       {synth.range_min_sql(s)} AS range_min,
+       {synth.range_max_sql(s)} AS range_max,
+       {synth.token_sql(s)} AS token,
+       {synth.sortable_sql(s)} AS sortable,
+       CAST(({s} >> 61) & 7 AS INT) AS face
+FROM t
+"""
+    # children of a level-12 cell: id - lsb + (2k+1)*child_lsb, k=0..3
+    lsb12 = 1 << (2 * (30 - 12))
+    child_lsb = lsb12 >> 2
+    kids = ", ".join(f"({s} - {lsb12} + {(2 * k + 1) * child_lsb})"
+                     for k in range(4))
+    cell_children = f"""
+WITH t AS ({_synth_base()})
+SELECT point_id, unnest([{kids}]) AS child_id FROM t
+"""
+    tile_rollup = f"""
+WITH t AS (SELECT ({synth.SYNTH_CELL_SQL.strip()}) AS {s}, l_quantity
+           FROM lineitem),
+tt AS (SELECT {synth.token_sql(synth.parent_sql(s, 4))} AS tile_l4,
+              {synth.token_sql(synth.parent_sql(s, 8))} AS tile_l8,
+              l_quantity FROM t)
+SELECT coalesce(tile_l4, 'ALL') AS tile_l4,
+       coalesce(tile_l8, 'ALL') AS tile_l8,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM tt GROUP BY ROLLUP (tile_l4, tile_l8)
+"""
+    token_roundtrip = f"""
+WITH t AS ({_synth_base()})
+SELECT point_id, {s} AS parsed_id, TRUE AS valid FROM t
+"""
+    pip = FX.pip_oracle_sql()
+    pip_cast = f"SELECT CAST(region_id AS BIGINT) AS region_id, point_id FROM ({pip})"
+    anti_pred = " OR ".join(
+        FX.region_predicate_sql(rid) for rid in sorted(FX.region_params()))
+    pip_anti = f"""
+WITH ptx AS ({FX.PTX_SQL.strip()})
+SELECT point_id FROM ptx WHERE NOT ({anti_pred})
+"""
+    # region_stats: per-region arms with lat/lng carried through
+    arms = [
+        f"SELECT CAST({rid} AS BIGINT) AS region_id, point_id, lat, lng "
+        f"FROM ptx WHERE " + FX.region_predicate_sql(rid)
+        for rid in sorted(FX.region_params())
+    ]
+    region_stats = (
+        f"WITH ptx AS ({FX.PTX_SQL.strip()}),\n"
+        "m AS (" + "\nUNION ALL\n".join(arms) + ")\n"
+        "SELECT region_id, count(*) AS n_points, "
+        "round(avg(lat), 4) AS avg_lat, round(avg(lng), 4) AS avg_lng "
+        "FROM m GROUP BY region_id")
+    return {
+        "cell_algebra": cell_algebra,
+        "cell_children": cell_children,
+        "tile_rollup": tile_rollup,
+        "token_roundtrip": token_roundtrip,
+        "pip_broadcast": pip_cast,
+        "pip_salted": pip_cast,
+        "pip_anti": pip_anti,
+        "region_stats": region_stats,
+        "knn": FX.knn_oracle_sql(),
+        # tile_assign / raster_vector: rows-only (need the Hilbert
+        # encoder; covered by kernel golden + property tests)
+    }

@@ -1,0 +1,409 @@
+"""Spatial join strategies (SURVEY.md §2.5) — the heart of the engine.
+
+The reference expresses containment as scalar predicates
+(``CellUnion.contains``, ``Cap/LatLngRect.contains``); here each
+becomes a distributed join over covering cells with an exact verify
+stage:
+
+- :func:`pip_join_broadcast` — zero-shuffle map-side join: the covering
+  intervals (all regions) are compiled into a CSR stabbing index
+  (``kernels.regions.IntervalIndex``) captured by a ``mapInPandas``
+  closure; each Arrow batch of points does searchsorted + gather +
+  vectorized exact verify. The Spark form of the reference's
+  sorted-id bisect, amortized over batches.
+- :func:`pip_join_salted` — shuffle equi-join for covering sets too
+  large to broadcast: both sides keyed by a fixed coarse bucket level
+  (cell-id prefix) plus an explicit salt (covering side exploded ×S,
+  point side hashed), BETWEEN range filter, then the same exact verify.
+  AQE still splits residual skew; the salt handles single hot keys.
+
+Both variants return identical (region_id, point_id) sets; the tests
+assert it and the DuckDB oracle checks both against brute-force
+exact geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from s2spark import columns as CC
+from s2spark import metrics
+from s2spark.coverer import RegionCoverer
+from s2spark.geometry import (
+    Cell,
+    CellUnion,
+    cid_child_begin,
+    cid_child_end,
+    cid_level,
+    cid_lsb_for_level,
+    cid_parent,
+    cid_range_max,
+    cid_range_min,
+)
+from s2spark.kernels import cellops, hilbert
+from s2spark.kernels import regions as RK
+
+SIGN = 1 << 63
+BUCKET_LEVEL = 4  # coarse prefix level for the shuffle variant
+DEFAULT_SALT = 8
+
+
+def _sortable(u: int) -> int:
+    """uint64 python int -> order-preserving signed int64.
+
+    XOR with the sign bit, reinterpreted signed, is u - 2^63 for all u.
+    """
+    return u - SIGN
+
+
+# ---------------------------------------------------------------------------
+# covering construction
+# ---------------------------------------------------------------------------
+
+def compute_coverings(regions: dict[int, object], max_cells: int = 96,
+                      max_level: int = 30) -> list[tuple]:
+    """(region_id, cell_id, interior) rows for every covering cell.
+
+    ``interior`` is exact (``region.contains(cell)``): matches on
+    interior cells skip the verify stage (the reference's
+    interior-covering optimization, SURVEY.md §2.6).
+    """
+    coverer = RegionCoverer(max_cells=max_cells, max_level=max_level)
+    rows = []
+    for rid, region in regions.items():
+        for cid in coverer.get_covering(region).ids:
+            rows.append((rid, cid, region.contains(Cell(cid))))
+    return rows
+
+
+def build_interval_index(covering_rows: list[tuple]) -> RK.IntervalIndex:
+    """covering rows -> CSR stabbing index over sortable leaf ranges."""
+    starts = [_sortable(cid_range_min(cid)) for _, cid, _ in covering_rows]
+    ends = [_sortable(cid_range_max(cid)) for _, cid, _ in covering_rows]
+    rids = [rid for rid, _, _ in covering_rows]
+    interior = [i for _, _, i in covering_rows]
+    return RK.IntervalIndex(starts, ends, rids, interior)
+
+
+def coverings_df(spark: SparkSession, covering_rows: list[tuple],
+                 bucket_level: int = BUCKET_LEVEL) -> DataFrame:
+    """covering rows -> DataFrame keyed by coarse bucket for the
+    shuffle join: (region_id, cell_id, range_min_s, range_max_s,
+    interior, bucket). Cells coarser than the bucket level are exploded
+    into their bucket-level descendants."""
+    out = []
+    for rid, cid, interior in covering_rows:
+        rmin_s = _sortable(cid_range_min(cid))
+        rmax_s = _sortable(cid_range_max(cid))
+        cid_s = (cid ^ SIGN) - SIGN if cid & SIGN else cid
+        if cid_level(cid) >= bucket_level:
+            buckets = [cid_parent(cid, bucket_level)]
+        else:
+            step = 2 * cid_lsb_for_level(bucket_level)
+            b = cid_child_begin(cid, bucket_level)
+            end = cid_child_end(cid, bucket_level)
+            buckets = []
+            while b != end:
+                buckets.append(b)
+                b += step
+        for b in buckets:
+            b_s = (b ^ SIGN) - SIGN if b & SIGN else b
+            out.append((rid, cid_s, rmin_s, rmax_s, bool(interior), b_s))
+    schema = ("region_id long, cell_id long, range_min_s long, "
+              "range_max_s long, interior boolean, bucket long")
+    return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# exact verify (shared by all variants)
+# ---------------------------------------------------------------------------
+
+def verify_matches(lat: np.ndarray, lng: np.ndarray,
+                   region_ids: np.ndarray,
+                   params_by_region: dict[int, tuple[str, list[float]]]
+                   ) -> np.ndarray:
+    """vectorized exact containment for candidate (point, region) rows,
+    grouped by region (<= a few dozen kernel calls per batch)."""
+    ok = np.zeros(len(lat), dtype=bool)
+    for rid in np.unique(region_ids):
+        m = region_ids == rid
+        kind, params = params_by_region[int(rid)]
+        if kind == "cap":
+            ok[m] = RK.cap_contains(lat[m], lng[m], *params)
+        elif kind == "rect":
+            ok[m] = RK.rect_contains(lat[m], lng[m], *params)
+        else:
+            normals = [tuple(params[i:i + 3])
+                       for i in range(0, len(params), 3)]
+            ok[m] = RK.poly_contains(lat[m], lng[m], normals)
+    return ok
+
+
+def make_verify_udf(params_by_region: dict[int, tuple[str, list[float]]]):
+    """pandas UDF (region_id, lat, lng) -> contained (exact verify for
+    the shuffle variant; params ride in the closure/broadcast)."""
+
+    @F.pandas_udf(BooleanType())
+    def _verify(region_id: pd.Series, lat: pd.Series,
+                lng: pd.Series) -> pd.Series:
+        return pd.Series(verify_matches(lat.to_numpy(np.float64),
+                                        lng.to_numpy(np.float64),
+                                        region_id.to_numpy(np.int64),
+                                        params_by_region))
+
+    return _verify
+
+
+# ---------------------------------------------------------------------------
+# variant (a): broadcast interval-stab join (zero shuffle)
+# ---------------------------------------------------------------------------
+
+def pip_join_broadcast(points: DataFrame,
+                       covering_rows: list[tuple],
+                       params_by_region: dict[int, tuple[str, list[float]]],
+                       extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """point-in-region join, map-side: encode + stab + verify fused in
+    one ``mapInPandas`` pass. Output: (region_id, point_id, *extra_cols).
+
+    ``points`` needs (point_id, lat, lng). Scales linearly in points
+    with NO shuffle; covering side bounded by driver/broadcast memory.
+    """
+    index = build_interval_index(covering_rows)
+    out_schema = StructType(
+        [StructField("region_id", LongType()),
+         StructField("point_id", LongType())]
+        + [points.schema[c] for c in extra_cols])
+
+    def _map(batches):
+        for pdf in batches:
+            lat = pdf["lat"].to_numpy(np.float64)
+            lng = pdf["lng"].to_numpy(np.float64)
+            leaf = hilbert.lat_lng_to_cell_id(lat, lng)
+            leaf_s = (leaf ^ np.uint64(SIGN)).view(np.int64)
+            rows, rids, interior = index.stab(leaf_s)
+            if len(rids) == 0:
+                continue
+            keep = interior.copy()
+            boundary = ~interior
+            if boundary.any():
+                keep[boundary] = verify_matches(
+                    lat[rows[boundary]], lng[rows[boundary]],
+                    rids[boundary], params_by_region)
+            rows, rids = rows[keep], rids[keep]
+            out = {"region_id": rids,
+                   "point_id": pdf["point_id"].to_numpy(np.int64)[rows]}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()[rows]
+            yield pd.DataFrame(out)
+
+    return points.mapInPandas(_map, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# variant (b): salted shuffle equi-join on bucket prefix
+# ---------------------------------------------------------------------------
+
+def with_cell_id(points: DataFrame) -> DataFrame:
+    """encode once; downstream stays JVM-side bit math."""
+    from s2spark.udfs import s2_cell_id
+    return points.withColumn("cell_id", s2_cell_id("lat", "lng"))
+
+
+def pip_join_salted(points: DataFrame, cov_df: DataFrame,
+                    params_by_region: dict[int, tuple[str, list[float]]],
+                    num_salts: int = DEFAULT_SALT,
+                    bucket_level: int = BUCKET_LEVEL,
+                    broadcast_covering: bool = False) -> DataFrame:
+    """point-in-region join as a salted hash equi-join.
+
+    points side: bucket = parent(cell_id, bucket_level) (pure codegen),
+    salt = hash(point_id) % S. covering side: exploded ×S so every
+    (bucket, salt) partition holds the full covering slice — a hot
+    bucket (city) spreads over S reducers. BETWEEN on sortable leaf
+    ranges prunes to true covering cells, exact verify confirms.
+    """
+    pts = points if "cell_id" in points.columns else with_cell_id(points)
+    pts = pts.withColumn("bucket", CC.parent("cell_id", bucket_level)) \
+             .withColumn("leaf_s", CC.sortable("cell_id")) \
+             .withColumn("salt",
+                         F.pmod(F.hash("point_id"), F.lit(num_salts)))
+    cov = cov_df.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(num_salts)])))
+    if broadcast_covering:
+        cov = F.broadcast(cov)
+    joined = pts.join(
+        cov,
+        (pts["bucket"] == cov["bucket"]) & (pts["salt"] == cov["salt"])
+        & pts["leaf_s"].between(cov["range_min_s"], cov["range_max_s"]),
+        "inner")
+    verify = make_verify_udf(params_by_region)
+    accepted = joined.where(
+        F.col("interior") | verify("region_id", "lat", "lng"))
+    return accepted.select("region_id", "point_id")
+
+
+def pip_semi(points: DataFrame, covering_rows, params_by_region,
+             negate: bool = False) -> DataFrame:
+    """LEFT SEMI / ANTI forms: points in (not in) ANY region."""
+    matches = pip_join_broadcast(points, covering_rows, params_by_region) \
+        .select("point_id").distinct()
+    how = "left_anti" if negate else "left_semi"
+    return points.join(matches, "point_id", how)
+
+
+# ---------------------------------------------------------------------------
+# kNN via progressive neighbor rings (SURVEY.md §2.5 row kNN)
+# ---------------------------------------------------------------------------
+
+def knn_join(spark: SparkSession, points: DataFrame,
+             queries: list[tuple[int, float, float, int]],
+             level: int = 6, max_rings: int = 64) -> DataFrame:
+    """exact k nearest points per query via growing cell rings.
+
+    Ring r covers all cells within Chebyshev distance r of the query's
+    level-``level`` cell; a query is finished when it has >= k
+    candidates and the k-th chord distance is <= the guaranteed-safe
+    chord of r * min_cell_width — everything outside the ring is
+    provably farther. Candidate cells are broadcast; the points side
+    is filtered by a hash-join on its tile column (no full shuffle).
+
+    Output: (query_id, point_id, rnk) with (dist2, point_id) ties.
+    """
+    pts = points if "cell_id" in points.columns else with_cell_id(points)
+    pts = pts.withColumn("tile", CC.parent("cell_id", level))
+    pts.persist()
+    min_width = metrics.MIN_WIDTH.get_value(level)
+
+    centers = {}
+    rings = {}
+    for qid, qlat, qlng, k in queries:
+        leaf = hilbert.lat_lng_to_cell_id(np.array([qlat]), np.array([qlng]))
+        c = cellops.parent(leaf, level)
+        centers[qid] = c
+        rings[qid] = c.copy()
+
+    def safe_chord2(r: int) -> float:
+        theta = r * min_width
+        if theta >= np.pi:
+            return 4.0
+        s = 2.0 * np.sin(0.5 * theta)
+        return s * s
+
+    active = {qid: k for qid, _, _, k in queries}
+    r = 0
+    while active and r < max_rings:
+        r += 1
+        for qid in active:
+            rings[qid] = cellops.ring_expand(rings[qid], level)
+        cand = _candidates_df(spark, queries, rings, active)
+        qmeta = {qid: (qlat, qlng, k) for qid, qlat, qlng, k in queries}
+        stats = _ring_stats(pts, cand, qmeta)
+        done = []
+        for qid, k in active.items():
+            cnt, kth = stats.get(qid, (0, np.inf))
+            if cnt >= k and kth <= safe_chord2(r):
+                done.append(qid)
+        for qid in done:
+            del active[qid]
+        if safe_chord2(r) >= 4.0:
+            break
+
+    cand = _candidates_df(spark, queries, rings,
+                          {qid: k for qid, _, _, k in queries})
+    out = _rank_candidates(pts, cand,
+                           {qid: (qlat, qlng, k)
+                            for qid, qlat, qlng, k in queries})
+    pts.unpersist()
+    return out
+
+
+def _candidates_df(spark, queries, rings, active) -> DataFrame:
+    rows = []
+    for qid, qlat, qlng, k in queries:
+        if qid not in active:
+            continue
+        for c in rings[qid]:
+            v = int(c)
+            if v >= SIGN:
+                v -= 1 << 64
+            rows.append((qid, v))
+    return spark.createDataFrame(rows, "query_id long, tile long")
+
+
+def _dist2_udf(qmeta):
+    @F.pandas_udf("double")
+    def _dist2(query_id: pd.Series, lat: pd.Series,
+               lng: pd.Series) -> pd.Series:
+        qids = query_id.to_numpy(np.int64)
+        qlat = np.empty(len(qids))
+        qlng = np.empty(len(qids))
+        for qid, (la, ln, _) in qmeta.items():
+            m = qids == qid
+            qlat[m] = la
+            qlng[m] = ln
+        return pd.Series(RK.chord_dist2(qlat, qlng,
+                                        lat.to_numpy(np.float64),
+                                        lng.to_numpy(np.float64)))
+    return _dist2
+
+
+def _ring_stats(pts, cand, qmeta) -> dict[int, tuple[int, float]]:
+    from pyspark.sql import Window
+    d = pts.join(F.broadcast(cand), pts["tile"] == cand["tile"]) \
+        .select("query_id", "point_id", "lat", "lng") \
+        .withColumn("dist2", _dist2_udf(qmeta)("query_id", "lat", "lng"))
+    w = Window.partitionBy("query_id").orderBy("dist2", "point_id")
+    ranked = d.withColumn("rnk", F.row_number().over(w))
+    k_expr = F.create_map(*[x for qid, (_, _, k) in qmeta.items()
+                            for x in (F.lit(qid), F.lit(k))])
+    stats = ranked.groupBy("query_id").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.when(F.col("rnk") == k_expr[F.col("query_id")],
+                     F.col("dist2"))).alias("kth"))
+    return {r["query_id"]: (r["cnt"],
+                            r["kth"] if r["kth"] is not None else np.inf)
+            for r in stats.collect()}
+
+
+def _rank_candidates(pts, cand, qmeta) -> DataFrame:
+    from pyspark.sql import Window
+    d = pts.join(F.broadcast(cand), pts["tile"] == cand["tile"]) \
+        .select("query_id", "point_id", "lat", "lng") \
+        .withColumn("dist2", _dist2_udf(qmeta)("query_id", "lat", "lng"))
+    w = Window.partitionBy("query_id").orderBy("dist2", "point_id")
+    ranked = d.withColumn("rnk", F.row_number().over(w))
+    k_expr = F.create_map(*[x for qid, (_, _, k) in qmeta.items()
+                            for x in (F.lit(qid), F.lit(k))])
+    return ranked.where(F.col("rnk") <= k_expr[F.col("query_id")]) \
+        .select("query_id", "point_id", F.col("rnk").cast("int").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector alignment (SURVEY.md §2.5 row raster)
+# ---------------------------------------------------------------------------
+
+def raster_vector_align(points: DataFrame, covering_rows: list[tuple],
+                        params_by_region: dict,
+                        level: int = 8) -> DataFrame:
+    """per-(region, raster-tile) statistics: raster tiles are the
+    points' level-``level`` cells; vector regions arrive as coverings.
+    Pure Column-expr tiling on top of the broadcast PIP join."""
+    matched = pip_join_broadcast(points, covering_rows, params_by_region,
+                                 extra_cols=("lat", "lng"))
+    pts = with_cell_id(matched)
+    return pts.withColumn("tile_id", CC.parent("cell_id", level)) \
+        .groupBy("region_id", "tile_id") \
+        .agg(F.count("*").alias("n_points"),
+             F.round(F.avg("lat"), 6).alias("avg_lat"),
+             F.round(F.avg("lng"), 6).alias("avg_lng")) \
+        .withColumn("tile_token", CC.token("tile_id")) \
+        .drop("tile_id")
