@@ -190,8 +190,52 @@ def _q_knn_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped relational aggregate (SURVEY §2.8): the engine's
+    stock Catalyst path, oracle-checked."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")) \
+        .groupBy("l_returnflag", "l_linestatus") \
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (F.lit(1) - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+             F.count("*").alias("count_order"))
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join + window top-k per group (SURVEY §2.8 windows)."""
+    from pyspark.sql import Window
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    j = spend.join(c, spend["o_custkey"] == c["c_custkey"]) \
+        .select("c_custkey", "c_nationkey", "spend")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("spend"),
+                                                  "c_custkey")
+    return j.withColumn("rnk", F.row_number().over(w)) \
+        .where(F.col("rnk") <= 3) \
+        .select("c_nationkey", "c_custkey", "spend",
+                F.col("rnk").cast("int").alias("rnk"))
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tumbling-window per-type event counts — the batch twin of the
+    Structured Streaming demo (SURVEY §2.10)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(F.window("ts", "10 minutes").start.alias("win_start"),
+                      "event_type") \
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from s2spark import ann as A
+    from s2spark import text as T
     return {
+        # --- geo / tiling / joins (SURVEY §2.1–2.7) ---
         "tile_assign": _q_tile_assign,
         "cell_algebra": _q_cell_algebra,
         "cell_children": _q_cell_children,
@@ -203,6 +247,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_stats": _q_region_stats,
         "knn": _q_knn,
         "raster_vector": _q_raster_vector,
+        # --- training-data ops: dedup / text / similarity ---
+        "dedup_exact": T.dedup_exact,
+        "dedup_ngram_jaccard": T.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": T.minhash_lsh_pairs,
+        "simhash": T.simhash,
+        "lang_id": T.lang_id,
+        "quality_score": T.quality_score,
+        "token_count": T.token_count,
+        "fingerprint": T.fingerprint,
+        "ann_bruteforce": A.ann_bruteforce_topk,
+        "ann_lsh_buckets": A.lsh_buckets,
+        "ann_lsh": A.ann_lsh_topk,
+        "embedding_similar_pairs": A.embedding_cosine_dedup,
+        # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "events_window": _q_events_window,
     }
 
 
@@ -279,6 +340,34 @@ SELECT point_id FROM ptx WHERE NOT ({anti_pred})
         "SELECT region_id, count(*) AS n_points, "
         "round(avg(lat), 4) AS avg_lat, round(avg(lng), 4) AS avg_lng "
         "FROM m GROUP BY region_id")
+    from s2spark import ann as A
+    from s2spark import text as T
+    pricing_summary = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    top_customers = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT c_custkey, c_nationkey, spend,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend DESC, c_custkey) AS rnk
+  FROM spend JOIN customer ON o_custkey = c_custkey)
+SELECT c_nationkey, c_custkey, spend, CAST(rnk AS INT) AS rnk
+FROM j WHERE rnk <= 3
+"""
+    events_window = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
     return {
         "cell_algebra": cell_algebra,
         "cell_children": cell_children,
@@ -291,4 +380,19 @@ SELECT point_id FROM ptx WHERE NOT ({anti_pred})
         "knn": FX.knn_oracle_sql(),
         # tile_assign / raster_vector: rows-only (need the Hilbert
         # encoder; covered by kernel golden + property tests)
+        "dedup_exact": T.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": T.minhash_lsh_sql(),
+        "simhash": T.simhash_sql(),
+        "lang_id": T.lang_id_sql(),
+        "quality_score": T.quality_score_sql(),
+        "token_count": T.TOKEN_COUNT_SQL,
+        "fingerprint": T.FINGERPRINT_SQL,
+        "ann_bruteforce": A.ann_bruteforce_sql(),
+        "ann_lsh_buckets": A.lsh_buckets_sql(),
+        "ann_lsh": A.ann_lsh_sql(),
+        "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
+        "pricing_summary": pricing_summary,
+        "top_customers": top_customers,
+        "events_window": events_window,
     }

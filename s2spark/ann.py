@@ -1,0 +1,227 @@
+"""Similarity search over the ``embeddings`` table (array<float>, d=64).
+
+- :func:`ann_bruteforce_topk` — exact cosine top-k per query vector:
+  broadcast the (small) query set, JVM-side ``zip_with``/``aggregate``
+  dot products (whole-stage codegen, no Python), window top-k.
+  The baseline and the verifier for approximate variants.
+- :func:`lsh_buckets` / :func:`ann_lsh_topk` — random-hyperplane LSH:
+  8 sign bits -> bucket; candidates share the query's bucket. The
+  scale path: bucket assignment is a projection (one pass), the
+  candidate join is a bucket equi-join instead of a cross join.
+
+Float determinism vs the DuckDB oracle: dot products are left-fold
+sums over index order in BOTH engines (Spark ``aggregate`` lambda ≡
+generated `a[1]*b[1] + a[2]*b[2] + ...` SQL), floats upcast to double
+before multiplying, so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+N_QUERIES = 5          # query set = embeddings with vec_id < N_QUERIES
+TOP_K = 10
+N_PLANES = 8
+
+# deterministic pseudo-random hyperplanes (LCG; constants shared with
+# the generated oracle SQL)
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2 ** 31
+
+
+def hyperplanes() -> list[list[float]]:
+    out = []
+    state = 20260816
+    for _ in range(N_PLANES):
+        row = []
+        for _ in range(DIM):
+            state = (_LCG_A * state + _LCG_C) % _LCG_M
+            row.append(round(state / _LCG_M - 0.5, 9))
+        out.append(row)
+    return out
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    """left-fold sum of element products, double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def _dot_self_sql(col: str) -> str:
+    return " + ".join(
+        f"CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1))
+
+
+def _dot_ab_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str,
+                        k: int = TOP_K) -> DataFrame:
+    """exact top-k cosine neighbors for each query vector (vec_id <
+    N_QUERIES), excluding self. Output (query_id, vec_id, rnk)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"))
+    d = emb.crossJoin(F.broadcast(q)) \
+        .where(F.col("vec_id") != F.col("query_id"))
+    dot = _dot(F.col("qv"), F.col("embedding"))
+    na = _dot(F.col("qv"), F.col("qv"))
+    nb = _dot(F.col("embedding"), F.col("embedding"))
+    d = d.withColumn("cosine", dot / (F.sqrt(na) * F.sqrt(nb)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return d.withColumn("rnk", F.row_number().over(w)) \
+        .where(F.col("rnk") <= k) \
+        .select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
+
+
+def ann_bruteforce_sql(k: int = TOP_K) -> str:
+    dot = _dot_ab_sql("q.embedding", "e.embedding")
+    na = _dot_self_sql("q.embedding")
+    nb = _dot_self_sql("e.embedding")
+    return f"""
+WITH d AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ({dot}) / (sqrt({na}) * sqrt({nb})) AS cosine
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < {N_QUERIES} AND e.vec_id != q.vec_id),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM d)
+SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random-hyperplane signature: bit p set iff plane_p · v >= 0.
+    Output (vec_id, bucket int) — the partition key for bucketed ANN."""
+    emb = _emb(spark, sf_dir)
+    planes = hyperplanes()
+    bucket = None
+    for p, plane in enumerate(planes):
+        dot = None
+        for i, w in enumerate(plane):
+            term = F.lit(w) * F.element_at("embedding", i + 1).cast("double")
+            dot = term if dot is None else dot + term
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def lsh_buckets_sql() -> str:
+    planes = hyperplanes()
+    bits = []
+    for p, plane in enumerate(planes):
+        dot = " + ".join(f"({w!r}) * CAST(embedding[{i + 1}] AS DOUBLE)"
+                         for i, w in enumerate(plane))
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    expr = " + ".join(bits)
+    return f"SELECT vec_id, CAST({expr} AS INT) AS bucket FROM embeddings"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str,
+                 k: int = TOP_K) -> DataFrame:
+    """approximate top-k: exact cosine ranking restricted to the
+    query's LSH bucket (plus Hamming-distance-1 buckets for recall).
+    Deterministic — the oracle replicates the same candidate rule."""
+    emb = _emb(spark, sf_dir)
+    b = lsh_buckets(spark, sf_dir)
+    embb = emb.join(b, "vec_id")
+    q = embb.where(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                F.col("bucket").alias("qbucket"))
+    # probe buckets: exact + 8 single-bit flips
+    probes = F.array(*([F.col("qbucket")]
+                       + [F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                          for p in range(N_PLANES)]))
+    q = q.withColumn("probe", F.explode(probes))
+    d = embb.join(F.broadcast(q),
+                  (F.col("bucket") == F.col("probe"))
+                  & (F.col("vec_id") != F.col("query_id")))
+    dot = _dot(F.col("qv"), F.col("embedding"))
+    na = _dot(F.col("qv"), F.col("qv"))
+    nb = _dot(F.col("embedding"), F.col("embedding"))
+    d = d.withColumn("cosine", dot / (F.sqrt(na) * F.sqrt(nb)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return d.withColumn("rnk", F.row_number().over(w)) \
+        .where(F.col("rnk") <= k) \
+        .select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
+
+
+def ann_lsh_sql(k: int = TOP_K) -> str:
+    dot = _dot_ab_sql("q.embedding", "e.embedding")
+    na = _dot_self_sql("q.embedding")
+    nb = _dot_self_sql("e.embedding")
+    probes = ", ".join(["qb.bucket"]
+                       + [f"xor(qb.bucket, {1 << p})"
+                          for p in range(N_PLANES)])
+    return f"""
+WITH b AS ({lsh_buckets_sql()}),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding, p.probe
+  FROM embeddings e JOIN b qb ON e.vec_id = qb.vec_id,
+       unnest([{probes}]) AS p(probe)
+  WHERE e.vec_id < {N_QUERIES}),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         ({dot}) / (sqrt({na}) * sqrt({nb})) AS cosine
+  FROM embeddings e
+  JOIN b eb ON e.vec_id = eb.vec_id
+  JOIN q ON eb.bucket = q.probe AND e.vec_id != q.query_id),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM d)
+SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str,
+                           tau: float = 0.2) -> DataFrame:
+    """embedding near-dup pairs: cosine >= tau within LSH probe
+    buckets (bucketed all-pairs instead of a full cross join)."""
+    emb = _emb(spark, sf_dir)
+    b = lsh_buckets(spark, sf_dir)
+    e = emb.join(b, "vec_id")
+    a = e.alias("a")
+    c = e.alias("c")
+    d = a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+    dot = _dot(F.col("a.embedding"), F.col("c.embedding"))
+    na = _dot(F.col("a.embedding"), F.col("a.embedding"))
+    nb = _dot(F.col("c.embedding"), F.col("c.embedding"))
+    return d.select(F.col("a.vec_id").alias("v1"),
+                    F.col("c.vec_id").alias("v2"),
+                    (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine")) \
+        .where(F.col("cosine") >= F.lit(tau)) \
+        .select("v1", "v2", F.round("cosine", 6).alias("cosine"))
+
+
+def embedding_cosine_dedup_sql(tau: float = 0.2) -> str:
+    dot = _dot_ab_sql("a.embedding", "c.embedding")
+    na = _dot_self_sql("a.embedding")
+    nb = _dot_self_sql("c.embedding")
+    cos = f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+WITH b AS ({lsh_buckets_sql()})
+SELECT a.vec_id AS v1, c.vec_id AS v2, round({cos}, 6) AS cosine
+FROM embeddings a JOIN b ba ON a.vec_id = ba.vec_id
+JOIN b bc ON TRUE JOIN embeddings c ON c.vec_id = bc.vec_id
+WHERE ba.bucket = bc.bucket AND a.vec_id < c.vec_id
+  AND {cos} >= {tau!r}
+"""

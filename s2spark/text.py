@@ -1,0 +1,394 @@
+"""Training-data text operators over the ``documents`` table:
+deduplication (exact hash, MinHash+LSH, SimHash, n-gram Jaccard),
+language-ID, quality scoring, token counting, fingerprinting.
+
+Every operator is built from JVM-side Spark SQL functions (no UDFs at
+all in this module) and has a DuckDB oracle twin generated from the
+same constants.
+
+Cross-engine determinism: the only hash primitive is
+``int64(hex_prefix_15(md5(s)))`` — Spark ``conv(substr(md5(s),1,15),
+16,10)`` ≡ DuckDB ``('0x'||substr(md5(s),1,15))::BIGINT`` — verified
+bit-identical. MinHash mixes it with (a·h32 + b) mod P over constants
+below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# MinHash parameters: h32 = md5int % P, sig_i = (A[i]*h32 + B[i]) % P.
+# P prime < 2^32 keeps A[i]*h32 < 2^62 (no int64 overflow, ANSI-safe).
+MINHASH_P = 4294967291
+MINHASH_A = [1103515245, 1103245, 214013, 69069, 1664525, 22695477,
+             134775813, 1099087573]
+MINHASH_B = [12345, 90123, 2531011, 362437, 1013904223, 1, 7, 95]
+LSH_BANDS = 4  # 8 signatures → 4 bands of 2 rows
+SIMHASH_BITS = 16
+SHINGLE = 3
+JACCARD_TAU = 0.5
+
+# deterministic language-marker word lists (the langid heuristic)
+LANG_MARKERS = {
+    "en": ["the", "a", "value", "row"],
+    "de": ["der", "und", "nicht"],
+    "es": ["el", "que", "los"],
+    "fr": ["le", "les", "une"],
+    "zh": ["de5", "shi4", "zhong1"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def md5_int64(col):
+    """first 60 bits of md5 as int64 — the cross-engine hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MD5_INT64_SQL = "('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# tokens & shingles (shared plumbing)
+# ---------------------------------------------------------------------------
+
+def with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.split(F.col("text"), " "))
+
+
+TOKS_SQL = "string_split(text, ' ')"
+
+
+def shingles_df(df: DataFrame) -> DataFrame:
+    """distinct 3-token shingles per doc (JVM transform + explode)."""
+    d = with_tokens(df).where(F.size("toks") >= SHINGLE)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - F.lit(SHINGLE)),
+        lambda i: F.concat_ws(" ", F.col("toks")[i],
+                              F.col("toks")[i + F.lit(1)],
+                              F.col("toks")[i + F.lit(2)]))
+    return d.select("doc_id", F.explode(sh).alias("sh")).distinct()
+
+
+SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id,
+       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents) w,
+     unnest(range(1, len(toks) - {SHINGLE - 2})) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash-groupBy exact dedup: one representative (min doc_id) per
+    distinct text + the duplicate count. At 100 TB this is the same
+    plan: partial agg on the 60-bit hash, no text shuffle."""
+    return _docs(spark, sf_dir) \
+        .withColumn("text_hash", md5_int64(F.col("text"))) \
+        .groupBy("text_hash") \
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_dups"))
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {MD5_INT64_SQL.format(col='text')} AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """all-pairs 3-gram Jaccard >= tau via shingle equi-self-join.
+
+    Scale path: the shingle join shuffles on the shingle hash; hot
+    shingles are the skew risk — MinHash/LSH below is the sub-
+    quadratic variant for web scale.
+    """
+    sh = shingles_df(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))) \
+        .groupBy(F.col("a.doc_id").alias("d1"),
+                 F.col("b.doc_id").alias("d2")) \
+        .agg(F.count("*").alias("inter"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return inter \
+        .join(sa, F.col("d1") == F.col("sa.doc_id")) \
+        .join(sb, F.col("d2") == F.col("sb.doc_id")) \
+        .select("d1", "d2",
+                F.round(F.col("inter").cast("double")
+                        / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                        6).alias("jaccard")) \
+        .where(F.col("jaccard") >= F.lit(JACCARD_TAU))
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sd AS ({SHINGLES_SQL.strip()}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
+      >= {JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles_df(_docs(spark, sf_dir))
+    h32 = md5_int64(F.col("sh")) % F.lit(MINHASH_P)
+    aggs = [F.min((F.lit(MINHASH_A[i]) * h32 + F.lit(MINHASH_B[i]))
+                  % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i in range(len(MINHASH_A))]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql() -> str:
+    h32 = f"({MD5_INT64_SQL.format(col='sh')}) % {MINHASH_P}"
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * ({h32}) + {MINHASH_B[i]}) % {MINHASH_P})"
+        f" AS m{i}" for i in range(len(MINHASH_A)))
+    return (f"SELECT doc_id, {mins} FROM ({SHINGLES_SQL.strip()}) "
+            "GROUP BY doc_id")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 8 minhashes → 4 bands of 2; docs sharing
+    any band key are candidates. Band keys are strings (no overflow);
+    the band join is an equi-join → shuffles on band key, scales."""
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = len(MINHASH_A) // LSH_BANDS
+    bands = None
+    for b in range(LSH_BANDS):
+        cols = [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+            .alias("key"))
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return a.join(b, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))) \
+        .select(F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2")) \
+        .distinct()
+
+
+def minhash_lsh_sql() -> str:
+    rows_per_band = len(MINHASH_A) // LSH_BANDS
+    arms = []
+    for b in range(LSH_BANDS):
+        cols = [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        arms.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit k set iff the sum of
+    ±1 votes from token-hash bit k is >= 0."""
+    d = with_tokens(_docs(spark, sf_dir))
+    toks = d.select("doc_id", F.explode("toks").alias("tok")).distinct() \
+        .withColumn("h", md5_int64(F.col("tok")))
+    votes = [F.sum(F.when(F.shiftright("h", k).bitwiseAND(F.lit(1))
+                          == F.lit(1), 1).otherwise(-1)).alias(f"s{k}")
+             for k in range(SIMHASH_BITS)]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sh = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return agg.select("doc_id", sh.cast("long").alias("simhash"))
+
+
+def simhash_sql() -> str:
+    h = MD5_INT64_SQL.format(col="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({h}) >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN s{k} >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)),
+v AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# language ID, quality, token count, fingerprint
+# ---------------------------------------------------------------------------
+
+def _count_word(col, w: str):
+    """occurrences of token w — padded-text trick, same in SQL."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {w} "
+    return ((F.length(padded)
+             - F.length(F.regexp_replace(padded, needle, " ")))
+            / F.lit(len(needle) - 1)).cast("long")
+
+
+def _count_word_sql(w: str) -> str:
+    needle = f" {w} "
+    return (f"CAST((len(' ' || text || ' ') - "
+            f"len(regexp_replace(' ' || text || ' ', '{needle}', ' ', 'g')))"
+            f" / {len(needle) - 1} AS BIGINT)")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """marker-word scoring; argmax with fixed language order ties."""
+    d = _docs(spark, sf_dir)
+    for lang in LANG_ORDER:
+        score = None
+        for w in LANG_MARKERS[lang]:
+            c = _count_word(F.col("text"), w)
+            score = c if score is None else score + c
+        d = d.withColumn(f"sc_{lang}", score)
+    pred = None
+    best = None
+    for lang in LANG_ORDER:
+        col = F.col(f"sc_{lang}")
+        if pred is None:
+            pred = F.lit(lang)
+            best = col
+        else:
+            pred = F.when(col > best, F.lit(lang)).otherwise(pred)
+            best = F.when(col > best, col).otherwise(best)
+    return d.select("doc_id", pred.alias("pred_lang"),
+                    best.alias("best_score"))
+
+
+def lang_id_sql() -> str:
+    scores = {lang: " + ".join(_count_word_sql(w)
+                               for w in LANG_MARKERS[lang])
+              for lang in LANG_ORDER}
+    sel = ", ".join(f"({scores[lang]}) AS sc_{lang}" for lang in LANG_ORDER)
+    pred = f"'{LANG_ORDER[0]}'"
+    best = f"sc_{LANG_ORDER[0]}"
+    for lang in LANG_ORDER[1:]:
+        pred = f"CASE WHEN sc_{lang} > ({best}) THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN sc_{lang} > ({best}) THEN sc_{lang} ELSE ({best}) END"
+    return f"""
+WITH s AS (SELECT doc_id, {sel} FROM documents)
+SELECT doc_id, {pred} AS pred_lang, CAST({best} AS BIGINT) AS best_score
+FROM s
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length / mean-token-length / stopword-ratio quality features +
+    a combined score (deterministic formula)."""
+    d = with_tokens(_docs(spark, sf_dir))
+    n_toks = F.size("toks").cast("long")
+    stop = None
+    for w in STOPWORDS:
+        c = _count_word(F.col("text"), w)
+        stop = c if stop is None else stop + c
+    d = d.withColumn("n_toks", n_toks) \
+        .withColumn("n_stop", stop) \
+        .withColumn("mean_tok_len",
+                    F.round((F.length("text") - n_toks + F.lit(1))
+                            / n_toks, 6)) \
+        .withColumn("stop_ratio", F.round(stop / n_toks, 6))
+    # single rounding over unrounded components — rounding an already-
+    # rounded ratio × 0.5 would sit exactly on a decimal tie and
+    # diverge between engines
+    score = F.round(
+        F.least(F.col("n_toks") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + (F.col("n_stop") / F.col("n_toks")) * F.lit(0.5), 6)
+    return d.select("doc_id", "n_toks", "n_stop", "mean_tok_len",
+                    "stop_ratio", score.alias("quality"))
+
+
+def quality_score_sql() -> str:
+    stop = " + ".join(_count_word_sql(w) for w in STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, len({TOKS_SQL}) AS n_toks, ({stop}) AS n_stop,
+         len(text) AS n_chars2
+  FROM documents)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, n_stop,
+       round((n_chars2 - n_toks + 1) / n_toks, 6) AS mean_tok_len,
+       round(n_stop / n_toks, 6) AS stop_ratio,
+       round(least(n_toks / 100.0, 1.0) * 0.5
+             + (n_stop / n_toks) * 0.5, 6) AS quality
+FROM d
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whitespace tokens + a BPE-ish proxy (4 chars/token, ceil)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long")
+        .alias("bpe_est_tokens"))
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(ceil(len(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+FROM documents
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document fingerprint: 60-bit content hash + first-shingle hash
+    (a cheap rolling-prefix signature)."""
+    d = with_tokens(_docs(spark, sf_dir))
+    prefix = F.concat_ws(" ", F.slice("toks", 1, 5))
+    return d.select(
+        "doc_id",
+        md5_int64(F.col("text")).alias("content_fp"),
+        md5_int64(prefix).alias("prefix_fp"))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {MD5_INT64_SQL.format(col='text')} AS content_fp,
+       {MD5_INT64_SQL.format(col="array_to_string(toks[1:5], ' ')")}
+           AS prefix_fp
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+"""
