@@ -260,11 +260,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": A.lsh_buckets,
         "ann_lsh": A.ann_lsh_topk,
         "embedding_similar_pairs": A.embedding_cosine_dedup,
+        # --- image payload pipeline (SURVEY §2.9; rows-only: bytes
+        # are engine-generated, codecs not SQL-expressible) ---
+        "image_verify": _q_image_verify,
+        "image_tile_stats": _q_image_tile_stats,
         # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "events_window": _q_events_window,
     }
+
+
+def _q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synthetic geo_images -> decode -> phash/pixel/caption invariants
+    (BASELINE.json per-row invariant; lossless => exact)."""
+    from s2spark import images as IM
+    return IM.verify_images(IM.synth_images(spark, 500))
+
+
+def _q_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo-tiled image stats: encode + parent tile + per-tile aggregates."""
+    from s2spark import images as IM
+    return IM.image_tile_stats(IM.synth_images(spark, 500), level=6)
 
 
 # ---------------------------------------------------------------------------

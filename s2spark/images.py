@@ -1,0 +1,250 @@
+"""Image payload operators (graft axis pyspark × image; SURVEY.md §2.9).
+
+The input shape is BASELINE.json's input_hint: ``images(image_id,
+bytes, w, h, fmt, caption, phash)`` + geo columns. Pillow is absent in
+this sandbox, so the codecs are stdlib-only — ``raw`` (RGB row-major)
+and ``png`` (zlib deflate, filter 0) — both lossless, so pixel checks
+are exact; the PSNR≥40dB clause is reserved for lossy codecs
+(SURVEY.md §7.4).
+
+Pipeline discipline: decode is the only per-row work (codecs are
+inherently per-row) and runs inside iterator ``mapInPandas`` batches;
+everything around it (phash DCT, stats) is batched numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (callers compose)
+
+PHASH_SIZE = 32  # images are up-sampled to 32x32 before the DCT
+
+
+# ---------------------------------------------------------------------------
+# codecs (stdlib only)
+# ---------------------------------------------------------------------------
+
+def raw_encode(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> raw RGB row-major bytes."""
+    return arr.tobytes()
+
+
+def raw_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """minimal RGB8 PNG, filter 0 everywhere (lossless)."""
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert depth == 8 and ctype == 2, "only RGB8 supported"
+        elif typ == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 1 + 3 * w
+    rows = []
+    for r in range(h):
+        row = raw[r * stride:(r + 1) * stride]
+        assert row[0] == 0, "only filter 0 supported"
+        rows.append(np.frombuffer(row[1:], dtype=np.uint8))
+    return np.stack(rows).reshape(h, w, 3)
+
+
+def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt == "raw":
+        return raw_decode(data, w, h)
+    if fmt == "png":
+        return png_decode(data)
+    raise NotImplementedError(
+        f"codec {fmt!r} unavailable in this sandbox (no Pillow); "
+        "plumbing (schema/batching) is identical for real codecs")
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (DCT) + PSNR — batched numpy
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT32 = _dct_matrix(PHASH_SIZE)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of one HxWx3 uint8 image.
+
+    nearest-neighbor upsample to 32x32 grayscale -> 2D DCT-II -> 8x8
+    low-frequency block -> median threshold (DC excluded from median).
+    """
+    h, w, _ = arr.shape
+    gray = arr.astype(np.float64).mean(axis=2)
+    ry = PHASH_SIZE // h
+    rx = PHASH_SIZE // w
+    up = np.repeat(np.repeat(gray, ry, axis=0), rx, axis=1)
+    d = _DCT32 @ up @ _DCT32.T
+    block = d[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic geo_images (FIXTURES.md §1), generated
+# DISTRIBUTED via mapInPandas over spark.range — no driver bottleneck
+# ---------------------------------------------------------------------------
+
+_HOT_CITIES = [
+    (40.7128, -74.0060), (51.5074, -0.1278), (35.6762, 139.6503),
+    (-33.8688, 151.2093), (19.4326, -99.1332), (-23.5505, -46.6333),
+    (28.6139, 77.2090), (31.2304, 121.4737), (48.8566, 2.3522),
+    (-1.2921, 36.8219), (55.7558, 37.6173), (37.7749, -122.4194),
+]
+
+IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, "
+                 "fmt string, caption string, phash long, "
+                 "lat double, lng double")
+
+
+def _pixels_for(idx: int, w: int, h: int) -> np.ndarray:
+    i = np.arange(h)[:, None, None]
+    j = np.arange(w)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    return ((i * 7 + j * 13 + c * 101 + idx * 31) % 256).astype(np.uint8)
+
+
+def _latlng_for(idx: int) -> tuple[float, float]:
+    """seeded stratification: 80% uniform, 15% hot-city clusters
+    (skew fixture), 5% poles/seam edge cases."""
+    u = (idx * 2654435761 % 2 ** 32) / 2 ** 32
+    v = (idx * 40503 % 65536) / 65536.0
+    w2 = (idx * 9973 % 8191) / 8191.0
+    if u < 0.80:
+        return -60.0 + 135.0 * v, -180.0 + 360.0 * w2
+    if u < 0.95:
+        city = _HOT_CITIES[idx % len(_HOT_CITIES)]
+        return (city[0] + (v - 0.5) * 0.2, city[1] + (w2 - 0.5) * 0.2)
+    edge = idx % 5
+    if edge == 0:
+        return 89.99, -180.0 + 360.0 * w2
+    if edge == 1:
+        return -89.99, -180.0 + 360.0 * w2
+    if edge == 2:
+        return -60.0 + 135.0 * v, 179.999
+    if edge == 3:
+        return -60.0 + 135.0 * v, -179.999
+    return 0.0, 0.0
+
+
+def synth_images(spark: SparkSession, n: int,
+                 with_bytes: bool = True) -> DataFrame:
+    """deterministic geo_images table, generated on executors."""
+
+    def _gen(batches):
+        sizes = (8, 16, 32)
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"].tolist():
+                w = sizes[idx % 3]
+                h = sizes[(idx // 3) % 3]
+                fmt = "raw" if idx % 2 == 0 else "png"
+                lat, lng = _latlng_for(idx)
+                if with_bytes:
+                    px = _pixels_for(idx, w, h)
+                    data = raw_encode(px) if fmt == "raw" else png_encode(px)
+                    ph = phash64(px)
+                else:
+                    data, ph = None, 0
+                rows.append((f"img{idx:012d}", data, w, h, fmt,
+                             f"caption {idx} size {w}x{h} fmt {fmt}",
+                             ph, lat, lng))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption",
+                "phash", "lat", "lng"])
+
+    return spark.range(n).mapInPandas(_gen, IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pipeline operators
+# ---------------------------------------------------------------------------
+
+VERIFY_SCHEMA = ("image_id string, caption string, phash_ok boolean, "
+                 "psnr double, mean_px double")
+
+
+def verify_images(images: DataFrame) -> DataFrame:
+    """decode + recompute phash + PSNR vs the deterministic reference
+    pixels — the end-to-end pipeline-integrity op (BASELINE.json
+    per-row invariant). Iterator mapInPandas; numpy per batch."""
+
+    def _verify(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = decode(row.bytes, row.fmt, row.w, row.h)
+                idx = int(row.image_id[3:])
+                ref = _pixels_for(idx, row.w, row.h)
+                p = psnr(arr, ref)
+                out.append((row.image_id, row.caption,
+                            phash64(arr) == row.phash,
+                            p if np.isfinite(p) else 1e9,
+                            float(arr.mean())))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "caption", "phash_ok", "psnr", "mean_px"])
+
+    return images.mapInPandas(_verify, VERIFY_SCHEMA)
+
+
+def image_tile_stats(images: DataFrame, level: int = 8) -> DataFrame:
+    """per-tile image statistics: encode geo -> tile (Column expr) ->
+    per-tile counts + phash diversity (approx distinct)."""
+    from s2spark import columns as CC
+    from s2spark.joins import with_cell_id
+    df = with_cell_id(images)
+    return df.withColumn("tile_id", CC.parent("cell_id", level)) \
+        .groupBy(CC.token("tile_id").alias("tile_token")) \
+        .agg(F.count("*").alias("n_images"),
+             F.approx_count_distinct("phash").alias("phash_approx_distinct"))

@@ -1,0 +1,72 @@
+"""Image payload invariants (BASELINE.json input_hint + per-row
+invariant: decoded-pixel exactness for lossless fmts, caption
+equality, phash recompute)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2spark import images as IM
+
+
+def test_codec_roundtrips():
+    rng = np.random.default_rng(3)
+    for w, h in [(8, 8), (16, 32), (32, 16)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (IM.raw_decode(IM.raw_encode(arr), w, h) == arr).all()
+        assert (IM.png_decode(IM.png_encode(arr)) == arr).all()
+        assert IM.psnr(arr, arr) == float("inf")
+
+
+def test_phash_properties():
+    a = IM._pixels_for(5, 32, 32)
+    b = IM._pixels_for(900001, 32, 32)
+    ha, hb = IM.phash64(a), IM.phash64(b)
+    assert ha == IM.phash64(a)  # deterministic
+    # a tiny perturbation keeps the hash close (hamming <= 12/64)
+    noisy = a.copy().astype(np.int16)
+    noisy[0, 0] += 3
+    hn = IM.phash64(np.clip(noisy, 0, 255).astype(np.uint8))
+    assert bin((ha ^ hn) & ((1 << 64) - 1)).count("1") <= 12
+
+
+def test_unsupported_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        IM.decode(b"", "jpeg", 8, 8)
+
+
+def test_pipeline_invariants(spark):
+    """decode -> phash recompute == stored, caption survives
+    byte-identical, pixels exact (PSNR sentinel 1e9 for lossless)."""
+    imgs = IM.synth_images(spark, 300)
+    v = IM.verify_images(imgs).collect()
+    assert len(v) == 300
+    assert all(r["phash_ok"] for r in v)
+    assert all(r["psnr"] == 1e9 for r in v)  # lossless => exact pixels
+    caps = {r["image_id"]: r["caption"] for r in v}
+    src = {r["image_id"]: r["caption"]
+           for r in imgs.select("image_id", "caption").collect()}
+    assert caps == src
+
+
+def test_image_tile_stats(spark):
+    imgs = IM.synth_images(spark, 400)
+    stats = IM.image_tile_stats(imgs, level=4).collect()
+    assert sum(r["n_images"] for r in stats) == 400
+    assert all(len(r["tile_token"]) <= 3 for r in stats)
+    # hot-city skew fixture shows up: some tile has >> mean images
+    counts = sorted(r["n_images"] for r in stats)
+    assert counts[-1] >= 3 * (400 / max(len(stats), 1))
+
+
+def test_bytes_pruned_when_not_needed(spark):
+    """column pruning: a query that doesn't decode must not read
+    bytes (scan ReadSchema excludes the binary column)."""
+    import os
+    import tempfile
+    imgs = IM.synth_images(spark, 50)
+    path = os.path.join(tempfile.mkdtemp(), "imgs.parquet")
+    imgs.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).groupBy("fmt").count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bytes" not in plan.split("ReadSchema")[1][:200]
