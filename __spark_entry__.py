@@ -128,6 +128,16 @@ def _q_pip_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 cov_rows, params)
 
 
+def _q_pip_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """point-in-region as a Catalyst-native bucketed broadcast hash
+    join (SURVEY §2.5b, the 100 TB fast path) — same oracle as the
+    other variants."""
+    cov_rows, params = _coverings()
+    cov_df = J.coverings_df(spark, cov_rows, bucket_level=8)
+    return J.pip_join_bucketed(FX.points_df(spark, sf_dir), cov_df, params,
+                               bucket_level=8)
+
+
 def _q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """same join as a salted shuffle equi-join on cell-id prefix
     buckets (SURVEY §2.5c) — must equal the broadcast variant AND the
@@ -242,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": _q_tile_rollup,
         "token_roundtrip": _q_knn_tokens,
         "pip_broadcast": _q_pip_broadcast,
+        "pip_bucketed": _q_pip_bucketed,
         "pip_salted": _q_pip_salted,
         "pip_anti": _q_pip_anti,
         "region_stats": _q_region_stats,
@@ -391,6 +402,7 @@ FROM events GROUP BY 1, 2
         "tile_rollup": tile_rollup,
         "token_roundtrip": token_roundtrip,
         "pip_broadcast": pip_cast,
+        "pip_bucketed": pip_cast,
         "pip_salted": pip_cast,
         "pip_anti": pip_anti,
         "region_stats": region_stats,

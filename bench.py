@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ...,
+   "extra": {flagship throughput + local[8] vs local[32] scaling}}
+
+- query timings run at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+  local[$SPARK_GRAFT_CPUS] (default 32);
+- the scaling section re-runs the flagship tile+join pipeline on a
+  larger synthetic point set at local[N] and local[4N] (default 4,16 —
+  the sandbox proxy for N vs 4N executors, per BASELINE.md; the pair
+  leaves cores for Python workers) and reports
+  efficiency = (T_N / T_4N) / 4.
+Results also land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "64000000"))
+SCALE_CORES = tuple(int(c) for c in os.environ.get(
+    "SPARK_GRAFT_SCALE_CORES", "4,16").split(","))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+BENCH_QUERIES = [
+    "tile_assign", "pip_broadcast", "pip_bucketed", "pip_salted",
+    "region_stats", "knn",
+    "raster_vector", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "ann_bruteforce", "simhash", "quality_score", "image_verify",
+    "pricing_summary",
+]
+
+
+def make_session(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+    b = (SparkSession.builder.master(f"local[{cores}]")
+         .appName(f"s2spark-bench-{cores}")
+         .config("spark.sql.shuffle.partitions",
+                 str(shuffle_partitions or max(2 * cores, 16)))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "24g")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         # constraint propagation injects IsNotNull filters over UDF-
+         # derived join keys, making Catalyst evaluate the encode UDF
+         # twice — measured 2x wall on the flagship join
+         .config("spark.sql.constraintPropagation.enabled", "false")
+         .config("spark.ui.enabled", "false"))
+    s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def synthetic_points(spark, n: int):
+    """distributed deterministic point generator (hot-city skew mix —
+    the bench exercises the salting path honestly)."""
+    import numpy as np
+    import pandas as pd
+
+    def _gen(batches):
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            # vectorized seeded stratification (80% uniform, 20%
+            # hot-city clusters — the skew fixture)
+            u = (idx * 2654435761 % 2**32) / 2**32
+            v = (idx * 40503 % 65536) / 65536.0
+            w2 = (idx * 9973 % 8191) / 8191.0
+            lat = -60.0 + 135.0 * v
+            lng = -180.0 + 360.0 * w2
+            hot = u >= 0.80
+            if hot.any():
+                from s2spark.images import _HOT_CITIES
+                ci = idx[hot] % len(_HOT_CITIES)
+                city = np.array(_HOT_CITIES)
+                lat[hot] = city[ci, 0] + (v[hot] - 0.5) * 0.2
+                lng[hot] = city[ci, 1] + (w2[hot] - 0.5) * 0.2
+            yield pd.DataFrame({"point_id": idx, "lat": lat, "lng": lng})
+
+    return spark.range(n, numPartitions=max(CPUS * 2, 16)) \
+        .mapInPandas(_gen, "point_id long, lat double, lng double")
+
+
+_POINTS_CACHE: dict[int, str] = {}
+
+
+def materialized_points(spark, n_rows: int) -> str:
+    """generate once, bench against parquet — input generation is
+    scaffolding, not engine work."""
+    if n_rows not in _POINTS_CACHE:
+        import tempfile
+        path = os.path.join(tempfile.mkdtemp(prefix="s2bench_"), "pts")
+        synthetic_points(spark, n_rows).write.mode("overwrite").parquet(path)
+        _POINTS_CACHE[n_rows] = path
+    return _POINTS_CACHE[n_rows]
+
+
+def flagship_job(spark, n_rows: int, warmup: bool = True) -> tuple[float, int]:
+    """tile assignment + spatial join + per-(region,tile) agg over a
+    materialized parquet point table — the headline pipeline.
+    Returns (seconds, output_rows). A small warm-up run first spawns
+    Python workers / imports so the timing measures steady state."""
+    from s2spark import fixtures as FX
+    from s2spark import joins as J
+    cov_rows = J.compute_coverings(FX.region_objects())
+    params = FX.region_params()
+    path = materialized_points(spark, n_rows)
+    pts = spark.read.parquet(path)
+    if warmup:
+        J.raster_vector_align(pts.limit(100_000), cov_rows, params,
+                              level=8).count()
+    t0 = time.time()
+    out = J.raster_vector_align(pts, cov_rows, params, level=8)
+    n_out = out.count()
+    return time.time() - t0, n_out
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+    qs = E.queries()
+    times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    results: dict = {"queries": {}, "extra": {}}
+
+    spark = make_session(CPUS)
+    t_all = time.time()
+    results["queries"] = run_queries(spark)
+    spark.stop()
+
+    # flagship + scaling: fresh session per parallelism level, min of
+    # 2 timed runs (first run in a session pays Python-worker spawn /
+    # JIT; min isolates steady state). N vs 4N cores on the same
+    # materialized input — the sandbox proxy for N vs 4N executors.
+    lo_cores, hi_cores = SCALE_CORES
+    timings = {}
+    n_out = 0
+    levels = [hi_cores, lo_cores] if RUN_SCALING else [hi_cores]
+    for cores in levels:
+        s = make_session(cores)
+        secs = []
+        for _ in range(2):
+            sec, n_out = flagship_job(s, SCALE_ROWS)
+            secs.append(sec)
+        timings[cores] = min(secs)
+        s.stop()
+    sec_hi = timings[hi_cores]
+    results["extra"]["flagship_rows"] = SCALE_ROWS
+    results["extra"]["flagship_out_rows"] = n_out
+    results["extra"][f"flagship_sec_local{hi_cores}"] = round(sec_hi, 2)
+    results["extra"]["flagship_rows_per_sec"] = round(SCALE_ROWS / sec_hi)
+    if RUN_SCALING:
+        sec_lo = timings[lo_cores]
+        results["extra"][f"flagship_sec_local{lo_cores}"] = round(sec_lo, 2)
+        eff = (sec_lo / sec_hi) / (hi_cores / lo_cores)
+        results["extra"]["scaling_efficiency_%d_to_%d"
+                         % (lo_cores, hi_cores)] = round(eff, 3)
+        results["extra"]["flagship_rows_per_sec_local%d" % lo_cores] = \
+            round(SCALE_ROWS / sec_lo)
+
+    total = round(time.time() - t_all, 2)
+    line = {
+        "metric": "s2spark tile-assign + spatial-join bench "
+                  f"(headline {len(BENCH_QUERIES)} queries + flagship "
+                  f"{SCALE_ROWS} pts)",
+        "value": total,
+        "unit": "sec",
+        "queries": results["queries"],
+        "sf": float(sf),
+        "extra": results["extra"],
+    }
+    print(json.dumps(line))
+    _write_md(line)
+
+
+def _write_md(line: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    ex = line["extra"]
+    rows = "\n".join(f"| {k} | {v:.3f} |" for k, v in line["queries"].items())
+    eff_key = next((k for k in ex if k.startswith("scaling_efficiency")), None)
+    scaling = ""
+    if eff_key:
+        lo, hi = SCALE_CORES
+        scaling = f"""
+## Scaling (north-rule evidence: same job + input, two parallelism levels)
+
+| config | wall sec | rows/sec |
+| --- | --- | --- |
+| local[{lo}] | {ex[f'flagship_sec_local{lo}']} | {ex[f'flagship_rows_per_sec_local{lo}']:,} |
+| local[{hi}] | {ex[f'flagship_sec_local{hi}']} | {ex['flagship_rows_per_sec']:,} |
+
+**{eff_key} = {ex[eff_key]}** (target >= 0.8 per BASELINE.json; ratio
+normalized by the {hi // lo}x core increase; min of 2 runs per level,
+fresh session each, identical materialized input; the pair leaves
+cores free for the Python kernel workers that a real cluster's
+executors would own).
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — measured results
+
+Flagship pipeline: synthetic points (hot-city skew mix) -> S2 encode
+(Arrow-batched numpy) -> level-8 tile assignment (Column bit math) ->
+point-in-region join vs 17 fixture regions (broadcast interval-stab,
+exact verify) -> per-(region, tile) aggregate.
+
+- input rows: {ex['flagship_rows']:,} · output rows: {ex['flagship_out_rows']:,}
+- throughput at local[{CPUS}]: **{ex['flagship_rows_per_sec']:,} rows/sec**
+{scaling}
+## Per-query wall seconds (sf={line['sf']}, local[{CPUS}])
+
+| query | sec |
+| --- | --- |
+{rows}
+
+Total: {line['value']} sec.
+""")
+
+
+if __name__ == "__main__":
+    main()

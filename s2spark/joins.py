@@ -148,19 +148,37 @@ def verify_matches(lat: np.ndarray, lng: np.ndarray,
     return ok
 
 
-def make_verify_udf(params_by_region: dict[int, tuple[str, list[float]]]):
-    """pandas UDF (region_id, lat, lng) -> contained (exact verify for
-    the shuffle variant; params ride in the closure/broadcast)."""
+def make_verify_udf(params_by_region: dict[int, tuple[str, list[float]]],
+                    with_interior: bool = False):
+    """pandas UDF (region_id, lat, lng[, interior]) -> contained.
+
+    Exact verify for the join variants; params ride in the closure.
+    With ``with_interior``, rows flagged as interior-cell hits are
+    accepted without exact-geometry work (kernel-level mask)."""
+
+    if not with_interior:
+        @F.pandas_udf(BooleanType())
+        def _verify(region_id: pd.Series, lat: pd.Series,
+                    lng: pd.Series) -> pd.Series:
+            return pd.Series(verify_matches(lat.to_numpy(np.float64),
+                                            lng.to_numpy(np.float64),
+                                            region_id.to_numpy(np.int64),
+                                            params_by_region))
+        return _verify
 
     @F.pandas_udf(BooleanType())
-    def _verify(region_id: pd.Series, lat: pd.Series,
-                lng: pd.Series) -> pd.Series:
-        return pd.Series(verify_matches(lat.to_numpy(np.float64),
-                                        lng.to_numpy(np.float64),
-                                        region_id.to_numpy(np.int64),
-                                        params_by_region))
+    def _verify_i(region_id: pd.Series, lat: pd.Series, lng: pd.Series,
+                  interior: pd.Series) -> pd.Series:
+        ok = interior.to_numpy(bool).copy()
+        b = ~ok
+        if b.any():
+            ok[b] = verify_matches(lat.to_numpy(np.float64)[b],
+                                   lng.to_numpy(np.float64)[b],
+                                   region_id.to_numpy(np.int64)[b],
+                                   params_by_region)
+        return pd.Series(ok)
 
-    return _verify
+    return _verify_i
 
 
 # ---------------------------------------------------------------------------
@@ -170,18 +188,24 @@ def make_verify_udf(params_by_region: dict[int, tuple[str, list[float]]]):
 def pip_join_broadcast(points: DataFrame,
                        covering_rows: list[tuple],
                        params_by_region: dict[int, tuple[str, list[float]]],
-                       extra_cols: tuple[str, ...] = ()) -> DataFrame:
+                       extra_cols: tuple[str, ...] = (),
+                       emit_cell_id: bool = False) -> DataFrame:
     """point-in-region join, map-side: encode + stab + verify fused in
-    one ``mapInPandas`` pass. Output: (region_id, point_id, *extra_cols).
+    one ``mapInPandas`` pass. Output: (region_id, point_id,
+    *extra_cols[, cell_id]).
 
     ``points`` needs (point_id, lat, lng). Scales linearly in points
     with NO shuffle; covering side bounded by driver/broadcast memory.
+    ``emit_cell_id`` passes the leaf id computed in-kernel through, so
+    downstream tiling needs no second encode pass.
     """
     index = build_interval_index(covering_rows)
-    out_schema = StructType(
-        [StructField("region_id", LongType()),
-         StructField("point_id", LongType())]
-        + [points.schema[c] for c in extra_cols])
+    fields = ([StructField("region_id", LongType()),
+               StructField("point_id", LongType())]
+              + [points.schema[c] for c in extra_cols])
+    if emit_cell_id:
+        fields.append(StructField("cell_id", LongType()))
+    out_schema = StructType(fields)
 
     def _map(batches):
         for pdf in batches:
@@ -203,6 +227,8 @@ def pip_join_broadcast(points: DataFrame,
                    "point_id": pdf["point_id"].to_numpy(np.int64)[rows]}
             for c in extra_cols:
                 out[c] = pdf[c].to_numpy()[rows]
+            if emit_cell_id:
+                out["cell_id"] = leaf.view(np.int64)[rows]
             yield pd.DataFrame(out)
 
     return points.mapInPandas(_map, out_schema)
@@ -249,6 +275,47 @@ def pip_join_salted(points: DataFrame, cov_df: DataFrame,
     accepted = joined.where(
         F.col("interior") | verify("region_id", "lat", "lng"))
     return accepted.select("region_id", "point_id")
+
+
+def pip_join_bucketed(points: DataFrame, cov_df: DataFrame,
+                      params_by_region: dict[int, tuple[str, list[float]]],
+                      bucket_level: int = 6,
+                      broadcast_covering: bool = True,
+                      extra_cols: tuple[str, ...] = (),
+                      emit_cell_id: bool = False) -> DataFrame:
+    """point-in-region as a Catalyst-native broadcast hash equi-join.
+
+    The fastest variant on the 100 TB side: one scalar-UDF encode pass
+    (narrow columns through Arrow), then everything JVM-side — bucket
+    prefix via codegen bit math, broadcast hash join against the
+    bucket-exploded covering table, BETWEEN range filter — and the
+    exact-verify scalar UDF only on non-interior candidates. Points in
+    no covering bucket fall out of the hash probe immediately, so the
+    verify UDF sees only true candidates.
+
+    ``cov_df`` must be built with the same ``bucket_level``
+    (:func:`coverings_df`).
+    """
+    pts = points if "cell_id" in points.columns else with_cell_id(points)
+    pts = pts.withColumn("_bucket", CC.parent("cell_id", bucket_level)) \
+             .withColumn("_leaf_s", CC.sortable("cell_id"))
+    cov = F.broadcast(cov_df) if broadcast_covering else cov_df
+    joined = pts.join(
+        cov, (pts["_bucket"] == cov["bucket"])
+        & pts["_leaf_s"].between(cov["range_min_s"], cov["range_max_s"]),
+        "inner")
+    # single filter pass; the kernel skips exact-geometry work for
+    # interior-cell hits (the reference's interior-covering
+    # optimization) — branching in the plan would re-evaluate the
+    # whole join+encode subtree per branch
+    verify = make_verify_udf(params_by_region, with_interior=True)
+    accepted = joined.where(
+        verify("region_id", "lat", "lng", "interior"))
+    cols = [F.col("region_id"), pts["point_id"]]
+    cols += [pts[c] for c in extra_cols]
+    if emit_cell_id:
+        cols.append(pts["cell_id"])
+    return accepted.select(*cols)
 
 
 def pip_semi(points: DataFrame, covering_rows, params_by_region,
@@ -396,10 +463,13 @@ def raster_vector_align(points: DataFrame, covering_rows: list[tuple],
                         level: int = 8) -> DataFrame:
     """per-(region, raster-tile) statistics: raster tiles are the
     points' level-``level`` cells; vector regions arrive as coverings.
-    Pure Column-expr tiling on top of the broadcast PIP join."""
-    matched = pip_join_broadcast(points, covering_rows, params_by_region,
-                                 extra_cols=("lat", "lng"))
-    pts = with_cell_id(matched)
+    Pure Column-expr tiling on top of the bucketed broadcast PIP join
+    (one scalar-UDF encode, the rest JVM)."""
+    cov_df = coverings_df(points.sparkSession, covering_rows,
+                          bucket_level=8)
+    pts = pip_join_bucketed(points, cov_df, params_by_region,
+                            bucket_level=8, extra_cols=("lat", "lng"),
+                            emit_cell_id=True)
     return pts.withColumn("tile_id", CC.parent("cell_id", level)) \
         .groupBy("region_id", "tile_id") \
         .agg(F.count("*").alias("n_points"),

@@ -80,12 +80,14 @@ def st_to_uv(s: np.ndarray) -> np.ndarray:
 
 
 def uv_to_st(u: np.ndarray) -> np.ndarray:
-    """Inverse quadratic u∈[-1,1] -> s∈[0,1] (``sphere.py :: uv_to_st``)."""
+    """Inverse quadratic u∈[-1,1] -> s∈[0,1] (``sphere.py :: uv_to_st``).
+
+    Branch-free: one sqrt over |u| (identical values to the two-branch
+    reference form — sqrt(1+3u) for u>=0, mirrored below).
+    """
     u = np.asarray(u, dtype=np.float64)
-    with np.errstate(invalid="ignore"):  # np.where evaluates both branches
-        return np.where(u >= 0.0,
-                        0.5 * np.sqrt(1.0 + 3.0 * u),
-                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    s = 0.5 * np.sqrt(1.0 + 3.0 * np.abs(u))
+    return np.where(u >= 0.0, s, 1.0 - s)
 
 
 def st_to_ij(s: np.ndarray) -> np.ndarray:
@@ -106,27 +108,30 @@ def lat_lng_to_xyz(lat_deg: np.ndarray, lng_deg: np.ndarray):
     return np.cos(theta) * cosphi, np.sin(theta) * cosphi, np.sin(phi)
 
 
+# per-face (u, v) component/sign tables for the gather-based projection
+# below: u = USIGN[f] * P[UIDX[f]] / major, v = VSIGN[f] * P[VIDX[f]] / major
+_UIDX = np.array([1, 0, 0, 2, 2, 1], dtype=np.int64)
+_USGN = np.array([1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
+_VIDX = np.array([2, 2, 1, 1, 0, 0], dtype=np.int64)
+_VSGN = np.array([1.0, 1.0, -1.0, 1.0, -1.0, -1.0])
+
+
 def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
-    """xyz -> (face∈[0,6), u, v) (``xyz_to_face_uv`` + ``get_face``)."""
+    """xyz -> (face∈[0,6), u, v) (``xyz_to_face_uv`` + ``get_face``).
+
+    Gather-based and branch-free: faces are argmax-by-|coord| (x beats
+    y beats z on ties, the C++ tie order), u/v numerators are fetched
+    with one fancy-index per axis from the per-face tables above —
+    value-identical to the reference's per-face formulas.
+    """
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    # largest_abs_component: x beats y beats z on ties (C++ semantics)
     f = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
-    major = np.choose(f, (x, y, z))
+    stacked = np.stack([x, y, z])  # (3, N)
+    rng = np.arange(x.shape[0] if x.ndim else 1)
+    major = stacked[f, rng]
     face = np.where(major < 0, f + 3, f).astype(np.int64)
-    u = np.empty_like(ax)
-    v = np.empty_like(ax)
-    for fc, (unum, uden, vnum, vden, us, vs) in enumerate((
-            (y, x, z, x, 1.0, 1.0),    # face 0:  u =  y/x, v =  z/x
-            (x, y, z, y, -1.0, 1.0),   # face 1:  u = -x/y, v =  z/y
-            (x, z, y, z, -1.0, -1.0),  # face 2:  u = -x/z, v = -y/z
-            (z, x, y, x, 1.0, 1.0),    # face 3:  u =  z/x, v =  y/x
-            (z, y, x, y, 1.0, -1.0),   # face 4:  u =  z/y, v = -x/y
-            (y, z, x, z, -1.0, -1.0),  # face 5:  u = -y/z, v = -x/z
-    )):
-        m = face == fc
-        if m.any():
-            u[m] = us * unum[m] / uden[m]
-            v[m] = vs * vnum[m] / vden[m]
+    u = _USGN[face] * stacked[_UIDX[face], rng] / major
+    v = _VSGN[face] * stacked[_VIDX[face], rng] / major
     return face, u, v
 
 
