@@ -128,6 +128,37 @@ def _q_pip_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 cov_rows, params)
 
 
+def _q_cellunion_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distributed CellUnion intersection (SURVEY §2.5 cell-interval
+    joins + §2.7): fine-level union B ∩ coarse-level union A via the
+    snap-to-level hash equi-join (nested-or-disjoint property — no
+    range join needed). Full value-hash oracle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pk"),
+                     synth.synth_cell_col().alias("cell_id"))
+    a = base.where(F.col("ok") % 5 == 0) \
+        .select(CC.parent("cell_id", 8).alias("cell_id")).distinct()
+    b = base.where(F.col("pk") % 3 == 0) \
+        .select(CC.parent("cell_id", 10).alias("cell_id")).distinct()
+    return J.cell_containment_join(b, a, container_levels=[8]) \
+        .select("cell_id")
+
+
+def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-neighborhood expansion (SURVEY §2.3): 8 neighbors per
+    level-12 cell via the face-wrapping kernel UDF + explode.
+    Rows-only (neighbor geometry is not SQL-expressible)."""
+    from s2spark.udfs import s2_neighbors_udf
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cells = li.select(synth.synth_cell_col().alias("cell_id")) \
+        .distinct().limit(2000)
+    nbrs = s2_neighbors_udf(12)
+    return cells.select(
+        "cell_id", F.explode(nbrs("cell_id")).alias("neighbor_id")) \
+        .withColumn("neighbor_token", CC.token("neighbor_id"))
+
+
 def _q_pip_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """point-in-region as a Catalyst-native bucketed broadcast hash
     join (SURVEY §2.5b, the 100 TB fast path) — same oracle as the
@@ -251,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_children": _q_cell_children,
         "tile_rollup": _q_tile_rollup,
         "token_roundtrip": _q_knn_tokens,
+        "cellunion_intersect": _q_cellunion_intersect,
+        "neighbors": _q_neighbors,
         "pip_broadcast": _q_pip_broadcast,
         "pip_bucketed": _q_pip_bucketed,
         "pip_salted": _q_pip_salted,
@@ -401,6 +434,16 @@ FROM events GROUP BY 1, 2
         "cell_children": cell_children,
         "tile_rollup": tile_rollup,
         "token_roundtrip": token_roundtrip,
+        "cellunion_intersect": f"""
+WITH base AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+                     ({synth.SYNTH_CELL_SQL.strip()}) AS sc FROM lineitem),
+a AS (SELECT DISTINCT {synth.parent_sql('sc', 8)} AS cell_id
+      FROM base WHERE ok % 5 = 0),
+b AS (SELECT DISTINCT {synth.parent_sql('sc', 10)} AS cell_id
+      FROM base WHERE pk % 3 = 0)
+SELECT cell_id FROM b
+WHERE {synth.parent_sql('cell_id', 8)} IN (SELECT cell_id FROM a)
+""",
         "pip_broadcast": pip_cast,
         "pip_bucketed": pip_cast,
         "pip_salted": pip_cast,

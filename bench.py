@@ -29,7 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "64000000"))
 SCALE_CORES = tuple(int(c) for c in os.environ.get(
-    "SPARK_GRAFT_SCALE_CORES", "4,16").split(","))
+    "SPARK_GRAFT_SCALE_CORES", "2,8").split(","))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 BENCH_QUERIES = [
@@ -209,7 +209,9 @@ def _write_md(line: dict) -> None:
 normalized by the {hi // lo}x core increase; min of 2 runs per level,
 fresh session each, identical materialized input; the pair leaves
 cores free for the Python kernel workers that a real cluster's
-executors would own).
+executors would own — at higher core counts this single box saturates
+its shared memory bus, a limit a real multi-executor cluster does not
+share).
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured results

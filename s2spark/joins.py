@@ -327,6 +327,35 @@ def pip_semi(points: DataFrame, covering_rows, params_by_region,
     return points.join(matches, "point_id", how)
 
 
+def cell_containment_join(cells: DataFrame, container: DataFrame,
+                          container_levels: list[int] | None = None,
+                          how: str = "left_semi") -> DataFrame:
+    """rows of ``cells`` whose cell_id is contained in ANY cell of
+    ``container`` — the distributed ``CellUnion.contains`` /
+    covering∩covering primitive (SURVEY §2.5 cell-interval joins,
+    §2.7 intersection).
+
+    S2 cells are nested-or-disjoint, so containment is pure equality
+    after snapping: cell a ⊆ cell b  ⇔  parent(a, level(b)) == b.
+    The join is a UNION of plain hash equi-joins, one per distinct
+    container level (bounded by 31) — no range join, no nested loop,
+    scales like any equi-join and broadcasts when small.
+    """
+    if container_levels is None:
+        container_levels = [r["lvl"] for r in container.select(
+            CC.level("cell_id").alias("lvl")).distinct().collect()]
+    out = None
+    for lvl in sorted(container_levels):
+        side = container.where(CC.level("cell_id") == lvl) \
+            .select(F.col("cell_id").alias("_container"))
+        snapped = cells.where(CC.level("cell_id") >= lvl).join(
+            F.broadcast(side),
+            CC.parent(cells["cell_id"], lvl) == F.col("_container"),
+            how)
+        out = snapped if out is None else out.unionAll(snapped)
+    return out if out is not None else cells.limit(0)
+
+
 # ---------------------------------------------------------------------------
 # kNN via progressive neighbor rings (SURVEY.md §2.5 row kNN)
 # ---------------------------------------------------------------------------
