@@ -144,22 +144,30 @@ def main() -> None:
     results["queries"] = run_queries(spark)
     spark.stop()
 
-    # flagship + scaling: fresh session per parallelism level, min of
-    # 2 timed runs (first run in a session pays Python-worker spawn /
-    # JIT; min isolates steady state). N vs 4N cores on the same
-    # materialized input — the sandbox proxy for N vs 4N executors.
+    # flagship + scaling: each parallelism level runs in its OWN
+    # subprocess (a stopped local SparkSession reuses the JVM via the
+    # py4j gateway, so in-process reruns inherit heap/GC state); min
+    # of 2 timed runs per level isolates steady state. N vs 4N cores
+    # on the same materialized input — the sandbox proxy for N vs 4N
+    # executors.
+    import subprocess
+    s = make_session(2)
+    pts_path = materialized_points(s, SCALE_ROWS)
+    s.stop()
     lo_cores, hi_cores = SCALE_CORES
     timings = {}
     n_out = 0
     levels = [hi_cores, lo_cores] if RUN_SCALING else [hi_cores]
     for cores in levels:
-        s = make_session(cores)
-        secs = []
-        for _ in range(2):
-            sec, n_out = flagship_job(s, SCALE_ROWS)
-            secs.append(sec)
-        timings[cores] = min(secs)
-        s.stop()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship",
+             str(cores), str(SCALE_ROWS), pts_path],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        timings[cores] = payload["sec"]
+        n_out = payload["out_rows"]
+        results["extra"]["flagship_reps_local%d" % cores] = payload["reps"]
     sec_hi = timings[hi_cores]
     results["extra"]["flagship_rows"] = SCALE_ROWS
     results["extra"]["flagship_out_rows"] = n_out
@@ -234,5 +242,24 @@ Total: {line['value']} sec.
 """)
 
 
+def _flagship_subprocess(cores: int, n_rows: int, pts_path: str) -> None:
+    _POINTS_CACHE[n_rows] = pts_path
+    s = make_session(cores)
+    secs = []
+    n_out = 0
+    # the sandbox's wall clock is noisy (2x swings between identical
+    # runs); min over several reps recovers the steady-state capability
+    for _ in range(4):
+        sec, n_out = flagship_job(s, n_rows)
+        secs.append(sec)
+    s.stop()
+    print(json.dumps({"sec": min(secs), "out_rows": n_out,
+                      "reps": [round(x, 2) for x in secs]}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--flagship":
+        _flagship_subprocess(int(sys.argv[2]), int(sys.argv[3]),
+                             sys.argv[4])
+    else:
+        main()
