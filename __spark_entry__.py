@@ -64,8 +64,7 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = J.with_cell_id(FX.points_df(spark, sf_dir))
     return pts.withColumn("tile_id", CC.parent("cell_id", 12)) \
         .groupBy(CC.token("tile_id").alias("tile_token")) \
-        .agg(F.count("*").alias("n_points")) \
-        .orderBy("tile_token")
+        .agg(F.count("*").alias("n_points"))
 
 
 def _q_cell_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:

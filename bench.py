@@ -126,6 +126,8 @@ def flagship_job(spark, n_rows: int, warmup: bool = True) -> tuple[float, int]:
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as E
     qs = E.queries()
+    # spawn Python workers / warm imports before timing anything
+    qs["tile_assign"](spark, SF_DIR).limit(1000).count()
     times = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
