@@ -144,6 +144,26 @@ def _q_cellunion_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell_id")
 
 
+def _q_tile_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-order traversal (SURVEY §2.2 begin/end/advance/walk):
+    enumerate every level-5 cell on all 6 faces from spark.range —
+    id(face, k) = (face<<61 | lsb5) + 2·lsb5·k. Full oracle."""
+    lsb5 = 1 << (2 * (30 - 5))
+    n_per_face = 4 ** 5
+    rng = spark.range(6 * n_per_face)
+    face = (F.col("id") / F.lit(n_per_face)).cast("long")
+    k = F.col("id") % F.lit(n_per_face)
+    base = F.when(face >= 4,
+                  F.lit(-(2 ** 63)) + (face - F.lit(4)) * F.lit(2 ** 61)) \
+        .otherwise(face * F.lit(2 ** 61))
+    cell = base + F.lit(lsb5) + k * F.lit(2 * lsb5)
+    df = rng.select(cell.alias("cell_id"))
+    return df.select("cell_id",
+                     CC.token("cell_id").alias("token"),
+                     CC.face("cell_id").alias("face"),
+                     CC.level("cell_id").alias("lvl"))
+
+
 def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moore-neighborhood expansion (SURVEY §2.3): 8 neighbors per
     level-12 cell via the face-wrapping kernel UDF + explode.
@@ -282,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": _q_tile_rollup,
         "token_roundtrip": _q_knn_tokens,
         "cellunion_intersect": _q_cellunion_intersect,
+        "tile_enumerate": _q_tile_enumerate,
         "neighbors": _q_neighbors,
         "pip_broadcast": _q_pip_broadcast,
         "pip_bucketed": _q_pip_bucketed,
@@ -433,6 +454,19 @@ FROM events GROUP BY 1, 2
         "cell_children": cell_children,
         "tile_rollup": tile_rollup,
         "token_roundtrip": token_roundtrip,
+        "tile_enumerate": """
+WITH r AS (SELECT range AS id FROM range(6144)),
+c AS (SELECT CASE WHEN id // 1024 >= 4
+             THEN (-9223372036854775807 - 1) + (id // 1024 - 4) * 2305843009213693952
+             ELSE (id // 1024) * 2305843009213693952 END
+             + 1125899906842624 + (id % 1024) * 2251799813685248 AS cell_id FROM r)
+SELECT cell_id,
+       regexp_replace(lower(lpad(to_hex(cell_id), 16, '0')), '0+$', '')
+           AS token,
+       CAST((cell_id >> 61) & 7 AS INT) AS face,
+       (30 - bit_count((cell_id & -cell_id) - 1) // 2) AS lvl
+FROM c
+""",
         "cellunion_intersect": f"""
 WITH base AS (SELECT l_orderkey AS ok, l_partkey AS pk,
                      ({synth.SYNTH_CELL_SQL.strip()}) AS sc FROM lineitem),

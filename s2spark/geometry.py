@@ -1078,3 +1078,18 @@ class CellUnion:
         """number of level-30 leaves covered: a level-L cell covers
         4^(30-L) = lsb leaves (``CellUnion.leaf_cells_covered``)."""
         return sum(cid_lsb(cid) for cid in self.ids)
+
+    def average_based_area(self) -> float:
+        """AVG_AREA-calibrated area (``CellUnion.average_based_area``)."""
+        from s2spark.metrics import AVG_AREA
+        return AVG_AREA.get_value(MAX_LEVEL) * self.leaf_cells_covered()
+
+    def exact_area(self) -> float:
+        """sum of exact cell areas (``CellUnion.exact_area``)."""
+        import numpy as np
+
+        from s2spark.kernels.cellops import cell_exact_area
+        if not self.ids:
+            return 0.0
+        return float(cell_exact_area(
+            np.array(self.ids, dtype=np.uint64)).sum())

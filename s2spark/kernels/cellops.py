@@ -278,3 +278,41 @@ def cell_vertices_xyz(cell_id):
         out[:, k, 1] = y
         out[:, k, 2] = z
     return out
+
+
+# ---------------------------------------------------------------------------
+# spherical areas (``sphere.py :: Cell.exact_area/approx_area/
+# average_area``, ``girard_area``/``area`` free functions — SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def triangle_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """spherical triangle area via the numerically stable L'Huilier
+    form (``sphere.py :: area(a, b, c)``); inputs (N,3) unit vectors."""
+    def ang(u, v):
+        d = u - v
+        s = np.sqrt((d * d).sum(axis=1))
+        return 2.0 * np.arcsin(np.clip(0.5 * s, 0.0, 1.0))
+
+    sa = ang(b, c)
+    sb = ang(c, a)
+    sc = ang(a, b)
+    s = 0.5 * (sa + sb + sc)
+    t = (np.tan(0.5 * s) * np.tan(0.5 * (s - sa))
+         * np.tan(0.5 * (s - sb)) * np.tan(0.5 * (s - sc)))
+    return 4.0 * np.arctan(np.sqrt(np.maximum(t, 0.0)))
+
+
+def cell_exact_area(cell_id) -> np.ndarray:
+    """exact cell area in steradians: the two vertex triangles
+    (``Cell.exact_area``)."""
+    v = cell_vertices_xyz(cell_id)
+    norm = np.sqrt((v * v).sum(axis=2, keepdims=True))
+    v = v / norm
+    return (triangle_area(v[:, 0], v[:, 1], v[:, 2])
+            + triangle_area(v[:, 0], v[:, 2], v[:, 3]))
+
+
+def cell_average_area(lvl: int) -> float:
+    """constant average area at a level (``Cell.average_area``)."""
+    from s2spark.metrics import AVG_AREA
+    return AVG_AREA.get_value(lvl)
