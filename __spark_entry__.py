@@ -197,6 +197,18 @@ def _q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.pip_join_salted(FX.points_df(spark, sf_dir), cov_df, params)
 
 
+def _q_pip_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buffered point-in-region: the cap fixtures dilated by
+    Cap.expanded (SURVEY §2.4 cap ops — the buffer/kNN-bound
+    primitive); coverings recomputed for the dilated regions, same
+    join machinery, exact oracle with the expanded radii."""
+    regions = FX.buffered_cap_objects()
+    params = FX.buffered_cap_params()
+    cov_rows = J.compute_coverings(regions)
+    return J.pip_join_broadcast(FX.points_df(spark, sf_dir), cov_rows,
+                                params)
+
+
 def _q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI form: points contained in NO region (SURVEY §2.5
     semi/anti)."""
@@ -307,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_broadcast": _q_pip_broadcast,
         "pip_bucketed": _q_pip_bucketed,
         "pip_salted": _q_pip_salted,
+        "pip_buffered": _q_pip_buffered,
         "pip_anti": _q_pip_anti,
         "region_stats": _q_region_stats,
         "knn": _q_knn,
@@ -480,6 +493,9 @@ WHERE {synth.parent_sql('cell_id', 8)} IN (SELECT cell_id FROM a)
         "pip_broadcast": pip_cast,
         "pip_bucketed": pip_cast,
         "pip_salted": pip_cast,
+        "pip_buffered": ("SELECT CAST(region_id AS BIGINT) AS region_id,"
+                         " point_id FROM ("
+                         + FX.buffered_pip_oracle_sql() + ")"),
         "pip_anti": pip_anti,
         "region_stats": region_stats,
         "knn": FX.knn_oracle_sql(),

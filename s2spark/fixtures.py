@@ -173,6 +173,41 @@ def pip_oracle_sql() -> str:
             + "\nUNION ALL\n".join(arms))
 
 
+BUFFER_RAD = 0.01  # radius dilation for the buffered-PIP query
+
+
+def buffered_cap_objects() -> dict[int, object]:
+    """the cap fixtures dilated by BUFFER_RAD (``Cap.expanded`` — the
+    buffer/kNN-bound primitive, SURVEY.md §2.4 cap ops)."""
+    return {rid: Cap.from_lat_lng_radius(lat, lng, rad).expanded(BUFFER_RAD)
+            for rid, lat, lng, rad in CAPS}
+
+
+def buffered_cap_params() -> dict[int, tuple[str, list[float]]]:
+    """verify params for the dilated caps. The exact predicate uses
+    cos(expanded angle) where the expansion goes through the same
+    height arithmetic as ``Cap.expanded`` (so Spark and the oracle SQL
+    share the identical constant)."""
+    out = {}
+    for rid, lat, lng, rad in CAPS:
+        cap = Cap.from_lat_lng_radius(lat, lng, rad).expanded(BUFFER_RAD)
+        ax, ay, az = cap.axis
+        out[rid] = ("cap", [ax, ay, az, math.cos(cap.angle())])
+    return out
+
+
+def buffered_pip_oracle_sql() -> str:
+    arms = []
+    params = buffered_cap_params()
+    for rid in sorted(params):
+        ax, ay, az, cosr = params[rid][1]
+        arms.append(
+            f"SELECT {rid} AS region_id, point_id FROM ptx WHERE "
+            f"(({ax!r}) * px + ({ay!r}) * py + ({az!r}) * pz >= ({cosr!r}))")
+    return (f"WITH ptx AS ({PTX_SQL.strip()})\n"
+            + "\nUNION ALL\n".join(arms))
+
+
 # ---------------------------------------------------------------------------
 # kNN query fixture (constants in both engines)
 # ---------------------------------------------------------------------------
