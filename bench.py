@@ -159,7 +159,10 @@ def main() -> None:
     lo_cores, hi_cores = SCALE_CORES
     timings = {}
     n_out = 0
-    levels = [hi_cores, lo_cores] if RUN_SCALING else [hi_cores]
+    # peak run at full width for the headline throughput; the lo/hi
+    # pair measures scaling efficiency
+    levels = [CPUS] if CPUS not in (lo_cores, hi_cores) else []
+    levels += [hi_cores, lo_cores] if RUN_SCALING else [hi_cores]
     for cores in levels:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flagship",
@@ -171,10 +174,16 @@ def main() -> None:
         n_out = payload["out_rows"]
         results["extra"]["flagship_reps_local%d" % cores] = payload["reps"]
     sec_hi = timings[hi_cores]
+    sec_peak = min(timings.values())
+    peak_cores = min(timings, key=timings.get)
     results["extra"]["flagship_rows"] = SCALE_ROWS
     results["extra"]["flagship_out_rows"] = n_out
     results["extra"][f"flagship_sec_local{hi_cores}"] = round(sec_hi, 2)
-    results["extra"]["flagship_rows_per_sec"] = round(SCALE_ROWS / sec_hi)
+    if CPUS in timings:
+        results["extra"][f"flagship_sec_local{CPUS}"] = \
+            round(timings[CPUS], 2)
+    results["extra"]["flagship_rows_per_sec"] = round(SCALE_ROWS / sec_peak)
+    results["extra"]["flagship_peak_cores"] = peak_cores
     if RUN_SCALING:
         sec_lo = timings[lo_cores]
         results["extra"][f"flagship_sec_local{lo_cores}"] = round(sec_lo, 2)
@@ -212,11 +221,11 @@ def _write_md(line: dict) -> None:
 
 | config | wall sec | rows/sec |
 | --- | --- | --- |
-| local[{lo}] | {ex[f'flagship_sec_local{lo}']} | {ex[f'flagship_rows_per_sec_local{lo}']:,} |
-| local[{hi}] | {ex[f'flagship_sec_local{hi}']} | {ex['flagship_rows_per_sec']:,} |
+| local[{lo}] | {ex[f'flagship_sec_local{lo}']} | {round(SCALE_ROWS / ex[f'flagship_sec_local{lo}']):,} |
+| local[{hi}] | {ex[f'flagship_sec_local{hi}']} | {round(SCALE_ROWS / ex[f'flagship_sec_local{hi}']):,} |
 
 **{eff_key} = {ex[eff_key]}** (target >= 0.8 per BASELINE.json; ratio
-normalized by the {hi // lo}x core increase; min of 2 runs per level,
+normalized by the {hi // lo}x core increase; min of 4 runs per level,
 fresh session each, identical materialized input; the pair leaves
 cores free for the Python kernel workers that a real cluster's
 executors would own — at higher core counts this single box saturates
@@ -232,7 +241,7 @@ point-in-region join vs 17 fixture regions (broadcast interval-stab,
 exact verify) -> per-(region, tile) aggregate.
 
 - input rows: {ex['flagship_rows']:,} · output rows: {ex['flagship_out_rows']:,}
-- throughput at local[{CPUS}]: **{ex['flagship_rows_per_sec']:,} rows/sec**
+- peak throughput (local[{ex['flagship_peak_cores']}]): **{ex['flagship_rows_per_sec']:,} rows/sec**
 {scaling}
 ## Per-query wall seconds (sf={line['sf']}, local[{CPUS}])
 
