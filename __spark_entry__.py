@@ -262,6 +262,29 @@ def _q_knn_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_top_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """global top-k (SURVEY §2.8 sort/limit): densest 20 synthetic
+    level-8 tiles, deterministic (count desc, token) ordering."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(synth.synth_cell_col().alias("cell_id"))
+    return df.groupBy(CC.token(CC.parent("cell_id", 8)).alias("tile")) \
+        .agg(F.count("*").alias("n")) \
+        .orderBy(F.desc("n"), "tile").limit(20)
+
+
+def _q_tile_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """set ops on tile-id sets (SURVEY §2.8 set ops): tiles seen from
+    even orderkeys EXCEPT tiles seen from odd orderkeys."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(F.col("l_orderkey").alias("ok"),
+                     synth.synth_cell_col().alias("cell_id"))
+    even = base.where(F.col("ok") % 2 == 0) \
+        .select(CC.parent("cell_id", 10).alias("tile_id"))
+    odd = base.where(F.col("ok") % 2 == 1) \
+        .select(CC.parent("cell_id", 10).alias("tile_id"))
+    return even.exceptAll(odd.distinct()).distinct()
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped relational aggregate (SURVEY §2.8): the engine's
     stock Catalyst path, oracle-checked."""
@@ -342,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": _q_image_verify,
         "image_tile_stats": _q_image_tile_stats,
         # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
+        "top_tiles": _q_top_tiles,
+        "tile_setops": _q_tile_setops,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "events_window": _q_events_window,
@@ -436,6 +461,21 @@ SELECT point_id FROM ptx WHERE NOT ({anti_pred})
         "FROM m GROUP BY region_id")
     from s2spark import ann as A
     from s2spark import text as T
+    top_tiles = f"""
+WITH t AS (SELECT ({synth.SYNTH_CELL_SQL.strip()}) AS sc FROM lineitem)
+SELECT {synth.token_sql(synth.parent_sql('sc', 8))} AS tile,
+       count(*) AS n
+FROM t GROUP BY 1 ORDER BY n DESC, tile LIMIT 20
+"""
+    tile_setops = f"""
+WITH base AS (SELECT l_orderkey AS ok,
+                     ({synth.SYNTH_CELL_SQL.strip()}) AS sc FROM lineitem)
+SELECT DISTINCT {synth.parent_sql('sc', 10)} AS tile_id
+FROM base WHERE ok % 2 = 0
+EXCEPT
+SELECT DISTINCT {synth.parent_sql('sc', 10)} AS tile_id
+FROM base WHERE ok % 2 = 1
+"""
     pricing_summary = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -513,6 +553,8 @@ WHERE {synth.parent_sql('cell_id', 8)} IN (SELECT cell_id FROM a)
         "ann_lsh_buckets": A.lsh_buckets_sql(),
         "ann_lsh": A.ann_lsh_sql(),
         "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
+        "top_tiles": top_tiles,
+        "tile_setops": tile_setops,
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
         "events_window": events_window,

@@ -287,6 +287,51 @@ def normalize(a):
     return (a[0] / n, a[1] / n, a[2] / n)
 
 
+def origin_point():
+    """an arbitrary fixed reference point, guaranteed off every edge
+    used by tests (``sphere.py :: origin``)."""
+    return normalize((0.00457, 1.0, 0.0031358))
+
+
+def ortho(a):
+    """a unit vector orthogonal to ``a`` (``sphere.py :: ortho``)."""
+    k = max(range(3), key=lambda i: abs(a[i]))
+    temp = [0.012, 0.0053, 0.00457]
+    temp[(k + 1) % 3] = 1.0
+    return normalize(cross(a, tuple(temp)))
+
+
+def robust_cross_prod(a, b):
+    """cross product stable for nearly (anti)parallel inputs
+    (``sphere.py :: robust_cross_prod``): (b+a)×(b−a) = 2·a×b."""
+    x = cross((b[0] + a[0], b[1] + a[1], b[2] + a[2]),
+              (b[0] - a[0], b[1] - a[1], b[2] - a[2]))
+    if x != (0.0, 0.0, 0.0):
+        return x
+    return ortho(a)
+
+
+def simple_ccw(a, b, c) -> bool:
+    """True if the points are counterclockwise (``simple_ccw``):
+    det(c, a, b) > 0."""
+    return dot(cross(c, a), b) > 0
+
+
+def angle_between(a, b) -> float:
+    """stable angle between unit vectors via the chord
+    (``Point.angle`` / ``LatLng.get_distance`` underlying form)."""
+    d = (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+    return 2.0 * math.asin(min(1.0, 0.5 * math.sqrt(dot(d, d))))
+
+
+def latlng_distance(lat1: float, lng1: float,
+                    lat2: float, lng2: float) -> float:
+    """great-circle distance in radians between degree coordinates
+    (``LatLng.get_distance``)."""
+    return angle_between(latlng_to_point(lat1, lng1),
+                         latlng_to_point(lat2, lng2))
+
+
 def simple_crossing(a, b, c, d) -> bool:
     """edge AB crosses edge CD at an interior point
     (``sphere.py :: simple_crossing``)."""
@@ -767,6 +812,40 @@ class Cap:
     def contains_latlng(self, lat_deg: float, lng_deg: float) -> bool:
         return self.contains_point(latlng_to_point(lat_deg, lng_deg))
 
+    def get_rect_bound(self) -> "LatLngRect":
+        """``Cap.get_rect_bound``: lat band around the axis latitude;
+        full lng when the cap crosses a pole, else a centered lng
+        interval of half-width asin(sin r / cos lat)."""
+        if self.is_empty():
+            return LatLngRect(R1Interval.empty(), S1Interval.empty())
+        axis_lat = math.atan2(self.axis[2],
+                              math.hypot(self.axis[0], self.axis[1]))
+        axis_lng = math.atan2(self.axis[1], self.axis[0])
+        r = self.angle()
+        lat_lo = axis_lat - r
+        lat_hi = axis_lat + r
+        all_lng = False
+        if lat_lo <= -_FULL / 2:
+            lat_lo = -_FULL / 2
+            all_lng = True
+        if lat_hi >= _FULL / 2:
+            lat_hi = _FULL / 2
+            all_lng = True
+        if all_lng:
+            return LatLngRect(R1Interval(lat_lo, lat_hi), S1Interval.full())
+        sin_a = math.sin(r)
+        cos_lat = math.cos(axis_lat)
+        if sin_a >= cos_lat:
+            return LatLngRect(R1Interval(lat_lo, lat_hi), S1Interval.full())
+        half = math.asin(sin_a / cos_lat)
+        lo = math.remainder(axis_lng - half, 2 * _FULL)
+        hi = math.remainder(axis_lng + half, 2 * _FULL)
+        if lo <= -_FULL:
+            lo = _FULL
+        if hi <= -_FULL:
+            hi = _FULL
+        return LatLngRect(R1Interval(lat_lo, lat_hi), S1Interval(lo, hi))
+
 
 # ---------------------------------------------------------------------------
 # LatLngRect (``sphere.py :: LatLngRect``)
@@ -820,10 +899,53 @@ class LatLngRect:
     def union(self, other: "LatLngRect") -> "LatLngRect":
         return LatLngRect(self.lat.union(other.lat), self.lng.union(other.lng))
 
+    def intersection(self, other: "LatLngRect") -> "LatLngRect":
+        """``LatLngRect.intersection`` (empty when disjoint)."""
+        lat = self.lat.intersection(other.lat)
+        if lat.is_empty() or not self.lng.intersects(other.lng):
+            return LatLngRect(R1Interval.empty(), S1Interval.empty())
+        if self.lng.contains(other.lng):
+            lng = other.lng
+        elif other.lng.contains(self.lng):
+            lng = self.lng
+        else:
+            # one-sided overlap of non-nested intervals
+            lo = other.lng.lo if self.lng.fast_contains(other.lng.lo) \
+                else self.lng.lo
+            hi = other.lng.hi if self.lng.fast_contains(other.lng.hi) \
+                else self.lng.hi
+            lng = S1Interval(lo, hi)
+        return LatLngRect(lat, lng)
+
+    @staticmethod
+    def from_center_size(center_lat: float, center_lng: float,
+                         size_lat: float, size_lng: float) -> "LatLngRect":
+        """degrees; ``LatLngRect.from_center_size``."""
+        half_lat = math.radians(size_lat) / 2
+        half_lng = math.radians(size_lng) / 2
+        c_lat = math.radians(center_lat)
+        c_lng = math.radians(center_lng)
+        base = LatLngRect(R1Interval(c_lat, c_lat),
+                          S1Interval(c_lng, c_lng))
+        return base.expanded(half_lat, half_lng)
+
     def expanded(self, lat_margin: float, lng_margin: float) -> "LatLngRect":
         lat = self.lat.expanded(lat_margin).intersection(
             R1Interval(-_FULL / 2, _FULL / 2))
         return LatLngRect(lat, self.lng.expanded(lng_margin))
+
+    def convolve_with_cap(self, angle_rad: float) -> "LatLngRect":
+        """Minkowski sum with a cap of the given radius
+        (``LatLngRect.convolve_with_cap``): union of caps at the 4
+        vertices, rect-bounded, unioned with the margin expansion."""
+        out = self.expanded(angle_rad, angle_rad)
+        for k in range(4):
+            vlat, vlng = self.get_vertex(k)
+            cap = Cap.from_axis_angle(
+                latlng_to_point(math.degrees(vlat), math.degrees(vlng)),
+                angle_rad)
+            out = out.union(cap.get_rect_bound())
+        return out
 
     # --- region interface -------------------------------------------------
 
