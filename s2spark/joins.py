@@ -69,13 +69,15 @@ def _sortable(u: int) -> int:
 # covering construction
 # ---------------------------------------------------------------------------
 
-def compute_coverings(regions: dict[int, object], max_cells: int = 96,
+def compute_coverings(regions: dict[int, object], max_cells: int = 256,
                       max_level: int = 30) -> list[tuple]:
     """(region_id, cell_id, interior) rows for every covering cell.
 
     ``interior`` is exact (``region.contains(cell)``): matches on
     interior cells skip the verify stage (the reference's
-    interior-covering optimization, SURVEY.md §2.6).
+    interior-covering optimization, SURVEY.md §2.6). A larger
+    max_cells budget tightens boundaries — fewer exact verifies per
+    matched row — while the exploded covering stays broadcastable.
     """
     coverer = RegionCoverer(max_cells=max_cells, max_level=max_level)
     rows = []
