@@ -27,6 +27,35 @@ from s2spark import joins as J  # noqa: E402
 from s2spark import synth  # noqa: E402
 
 _COV_CACHE: dict = {}
+_SHIPPED: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """make ``s2spark`` importable on executor Python workers even
+    when the driver process runs from a foreign cwd: ship the package
+    zip via addPyFile (idempotent per session)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(repo, "dist", "s2spark.zip")
+    try:
+        if not os.path.exists(zip_path):
+            sys.path.insert(0, os.path.join(repo, "scripts"))
+            import make_pyfiles
+            zip_path = make_pyfiles.main()
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # same-cwd runs work without shipping
+    _SHIPPED.add(key)
+
+
+def _wrap(fn):
+    def _inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+    _inner.__doc__ = fn.__doc__
+    return _inner
 
 
 def _coverings():
@@ -47,6 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
     level-12 tiles (pure Column bit math), spatial-join against the
     fixture regions (broadcast interval-stab variant), aggregate per
     (region, tile)."""
+    _ensure_shipped(spark)
     sf_dir = "/root/testdata/sf0.001"
     cov_rows, params = _coverings()
     pts = FX.points_df(spark, sf_dir)
@@ -329,7 +359,7 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from s2spark import ann as A
     from s2spark import text as T
-    return {
+    raw = {
         # --- geo / tiling / joins (SURVEY §2.1–2.7) ---
         "tile_assign": _q_tile_assign,
         "cell_algebra": _q_cell_algebra,
@@ -371,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "events_window": _q_events_window,
     }
+    return {k: _wrap(v) for k, v in raw.items()}
 
 
 def _q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
