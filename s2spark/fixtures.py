@@ -19,6 +19,7 @@ from s2spark.geometry import (
     Cap,
     LatLngRect,
     SphericalPolygon,
+    StarPolygon,
     cross,
     latlng_to_point,
 )
@@ -80,6 +81,23 @@ RECTS = [
     (16, -3.913, 3.442, -62.517, -51.873),   # Amazon (equator)
 ]
 
+# non-convex star-shaped polygon: (region_id, [(lat, lng), ...]) —
+# an 8-point star around (52, 58): alternating outer/inner radii
+def _star_vertices(center_lat, center_lng, r_out, r_in, points=8):
+    out = []
+    for k in range(2 * points):
+        ang = math.pi * k / points
+        r = r_out if k % 2 == 0 else r_in
+        out.append((center_lat + r * math.sin(ang),
+                    center_lng + r * math.cos(ang)
+                    / math.cos(math.radians(center_lat))))
+    return out
+
+
+STARS = [
+    (24, _star_vertices(52.113, 58.277, 6.1, 2.3)),
+]
+
 # convex CCW polygons: (region_id, [(lat, lng), ...])
 POLYS = [
     (21, [(30.117, -10.413), (30.117, 10.413), (45.221, 14.332),
@@ -100,6 +118,8 @@ def region_objects() -> dict[int, object]:
         out[rid] = LatLngRect.from_degrees(lat_lo, lng_lo, lat_hi, lng_hi)
     for rid, verts in POLYS:
         out[rid] = SphericalPolygon(verts)
+    for rid, verts in STARS:
+        out[rid] = StarPolygon(verts)
     return out
 
 
@@ -123,6 +143,14 @@ def region_params() -> dict[int, tuple[str, list[float]]]:
             e = cross(pts[i], pts[(i + 1) % len(pts)])
             normals.extend(e)
         out[rid] = ("poly", normals)
+    for rid, verts in STARS:
+        star = StarPolygon(verts)
+        tri: list[float] = []
+        for e0, e1, e2 in star.tri_normals:
+            tri.extend(e0)
+            tri.extend(e1)
+            tri.extend(e2)
+        out[rid] = ("star", tri)
     return out
 
 
@@ -154,6 +182,15 @@ def region_predicate_sql(rid: int) -> str:
         else:
             lng_p = f"(lngn >= ({lng_lo!r}) AND lngn <= ({lng_hi!r}))"
         return f"({lat_p} AND {lng_p})"
+    if kind == "star":
+        tris = []
+        for t in range(0, len(params), 9):
+            e = params[t:t + 9]
+            tris.append(
+                f"((({e[0]!r}) * px + ({e[1]!r}) * py + ({e[2]!r}) * pz >= 0.0)"
+                f" AND (({e[3]!r}) * px + ({e[4]!r}) * py + ({e[5]!r}) * pz >= 0.0)"
+                f" AND (({e[6]!r}) * px + ({e[7]!r}) * py + ({e[8]!r}) * pz >= 0.0))")
+        return "(" + " OR ".join(tris) + ")"
     terms = []
     for i in range(0, len(params), 3):
         ex, ey, ez = params[i:i + 3]

@@ -143,6 +143,8 @@ def verify_matches(lat: np.ndarray, lng: np.ndarray,
             ok[m] = RK.cap_contains(lat[m], lng[m], *params)
         elif kind == "rect":
             ok[m] = RK.rect_contains(lat[m], lng[m], *params)
+        elif kind == "star":
+            ok[m] = RK.starpoly_contains(lat[m], lng[m], params)
         else:
             normals = [tuple(params[i:i + 3])
                        for i in range(0, len(params), 3)]
