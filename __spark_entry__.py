@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": T.ngram_jaccard_pairs,
         "dedup_minhash_lsh": T.minhash_lsh_pairs,
         "simhash": T.simhash,
+        "simhash_pairs": T.simhash_pairs,
         "lang_id": T.lang_id,
         "quality_score": T.quality_score,
         "token_count": T.token_count,
@@ -576,6 +577,7 @@ WHERE {synth.parent_sql('cell_id', 8)} IN (SELECT cell_id FROM a)
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": T.minhash_lsh_sql(),
         "simhash": T.simhash_sql(),
+        "simhash_pairs": T.simhash_pairs_sql(),
         "lang_id": T.lang_id_sql(),
         "quality_score": T.quality_score_sql(),
         "token_count": T.TOKEN_COUNT_SQL,

@@ -364,9 +364,19 @@ def cell_containment_join(cells: DataFrame, container: DataFrame,
 # kNN via progressive neighbor rings (SURVEY.md §2.5 row kNN)
 # ---------------------------------------------------------------------------
 
+def knn_auto_level(n_points: int, k_max: int) -> int:
+    """ring level from global density: aim for ~4·k_max points per
+    cell so ring 1–2 usually satisfies a query (``Metric`` level
+    calibration, SURVEY §2.3). Exactness never depends on the level —
+    only ring-count does."""
+    density = max(n_points, 1) / (4.0 * np.pi)  # points per steradian
+    target_area = 4.0 * max(k_max, 1) / density
+    return max(2, min(18, metrics.AVG_AREA.get_max_level(target_area)))
+
+
 def knn_join(spark: SparkSession, points: DataFrame,
              queries: list[tuple[int, float, float, int]],
-             level: int = 6, max_rings: int = 64) -> DataFrame:
+             level: int | None = 6, max_rings: int = 64) -> DataFrame:
     """exact k nearest points per query via growing cell rings.
 
     Ring r covers all cells within Chebyshev distance r of the query's
@@ -378,6 +388,9 @@ def knn_join(spark: SparkSession, points: DataFrame,
 
     Output: (query_id, point_id, rnk) with (dist2, point_id) ties.
     """
+    if level is None:
+        level = knn_auto_level(points.count(),
+                               max(k for _, _, _, k in queries))
     pts = points if "cell_id" in points.columns else with_cell_id(points)
     pts = pts.withColumn("tile", CC.parent("cell_id", level))
     pts.persist()

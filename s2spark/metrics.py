@@ -50,6 +50,13 @@ class AreaMetric:
     def get_value(self, level: int) -> float:
         return self.deriv * math.ldexp(1.0, -2 * level)
 
+    def get_max_level(self, value: float) -> int:
+        """maximum level whose cell area is at least ``value``."""
+        if value <= 0:
+            return MAX_LEVEL
+        level = int(math.floor(math.log2(self.deriv / value) / 2.0))
+        return max(0, min(MAX_LEVEL, level))
+
 
 # public S2 constants for the QUADRATIC projection (matches the
 # reference's st_to_uv variant)

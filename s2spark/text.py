@@ -392,3 +392,35 @@ SELECT doc_id,
            AS prefix_fp
 FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """
+
+
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str,
+                  max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """near-dup pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Small-table form is a self-join with bit_count(xor) (pure JVM); at
+    web scale you'd first band on simhash prefixes (the MinHash/LSH
+    pattern above) so the join is an equi-join — same output.
+    """
+    sig = simhash(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")) \
+        .where(ham <= F.lit(max_hamming)) \
+        .select(F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+                ham.cast("int").alias("hamming"))
+
+
+def simhash_pairs_sql(max_hamming: int = SIMHASH_HAMMING_MAX) -> str:
+    return f"""
+WITH sig AS ({simhash_sql().strip()})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
