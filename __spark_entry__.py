@@ -200,8 +200,9 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (neighbor geometry is not SQL-expressible)."""
     from s2spark.udfs import s2_neighbors_udf
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # orderBy before limit: deterministic row SET, not just row count
     cells = li.select(synth.synth_cell_col().alias("cell_id")) \
-        .distinct().limit(2000)
+        .distinct().orderBy(CC.sortable("cell_id")).limit(2000)
     nbrs = s2_neighbors_udf(12)
     return cells.select(
         "cell_id", F.explode(nbrs("cell_id")).alias("neighbor_id")) \
@@ -304,15 +305,18 @@ def _q_top_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tile_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """set ops on tile-id sets (SURVEY §2.8 set ops): tiles seen from
-    even orderkeys EXCEPT tiles seen from odd orderkeys."""
+    even partkeys EXCEPT tiles seen from odd partkeys. Splitting on
+    l_partkey (not l_orderkey, which also drives the synth face) makes
+    the two tile sets genuinely overlap, so EXCEPT does real work; set
+    semantics = distinct-then-except (ADVICE r1 item 1)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    base = li.select(F.col("l_orderkey").alias("ok"),
+    base = li.select(F.col("l_partkey").alias("pk"),
                      synth.synth_cell_col().alias("cell_id"))
-    even = base.where(F.col("ok") % 2 == 0) \
+    even = base.where(F.col("pk") % 2 == 0) \
         .select(CC.parent("cell_id", 10).alias("tile_id"))
-    odd = base.where(F.col("ok") % 2 == 1) \
+    odd = base.where(F.col("pk") % 2 == 1) \
         .select(CC.parent("cell_id", 10).alias("tile_id"))
-    return even.exceptAll(odd.distinct()).distinct()
+    return even.distinct().exceptAll(odd.distinct())
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,13 +504,13 @@ SELECT {synth.token_sql(synth.parent_sql('sc', 8))} AS tile,
 FROM t GROUP BY 1 ORDER BY n DESC, tile LIMIT 20
 """
     tile_setops = f"""
-WITH base AS (SELECT l_orderkey AS ok,
+WITH base AS (SELECT l_partkey AS pk,
                      ({synth.SYNTH_CELL_SQL.strip()}) AS sc FROM lineitem)
 SELECT DISTINCT {synth.parent_sql('sc', 10)} AS tile_id
-FROM base WHERE ok % 2 = 0
+FROM base WHERE pk % 2 = 0
 EXCEPT
 SELECT DISTINCT {synth.parent_sql('sc', 10)} AS tile_id
-FROM base WHERE ok % 2 = 1
+FROM base WHERE pk % 2 = 1
 """
     pricing_summary = """
 SELECT l_returnflag, l_linestatus,

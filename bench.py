@@ -173,6 +173,10 @@ def main() -> None:
         timings[cores] = payload["sec"]
         n_out = payload["out_rows"]
         results["extra"]["flagship_reps_local%d" % cores] = payload["reps"]
+        results["extra"]["flagship_warmup_local%d" % cores] = \
+            payload["warmup_sec"]
+        results["extra"]["cpu_budget_local%d" % cores] = \
+            payload["cpu_budget"]
     sec_hi = timings[hi_cores]
     sec_peak = min(timings.values())
     peak_cores = min(timings, key=timings.get)
@@ -225,12 +229,16 @@ def _write_md(line: dict) -> None:
 | local[{hi}] | {ex[f'flagship_sec_local{hi}']} | {round(SCALE_ROWS / ex[f'flagship_sec_local{hi}']):,} |
 
 **{eff_key} = {ex[eff_key]}** (target >= 0.8 per BASELINE.json; ratio
-normalized by the {hi // lo}x core increase; min of 4 runs per level,
-fresh session each, identical materialized input; the pair leaves
-cores free for the Python kernel workers that a real cluster's
-executors would own — at higher core counts this single box saturates
-its shared memory bus, a limit a real multi-executor cluster does not
-share).
+normalized by the {hi // lo}x core increase). Methodology: each level
+runs in its own subprocess pinned via `sched_setaffinity` to a CPU
+budget of task-slots x 2 ({ex.get(f'cpu_budget_local{lo}', '?')} CPUs
+for local[{lo}], {ex.get(f'cpu_budget_local{hi}', '?')} for
+local[{hi}]) — Spark's local[N] bounds only task slots, so without
+pinning the JVM service threads + Python workers free-ride on the
+whole box and the small level is secretly faster than its budget
+(round-1 failure mode). BLAS pinned to 1 thread. One full-size warmup
+rep discarded per level (JIT/codegen/page-cache), then min of 4 timed
+reps on the identical materialized parquet input.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured results
@@ -254,8 +262,33 @@ Total: {line['value']} sec.
 
 
 def _flagship_subprocess(cores: int, n_rows: int, pts_path: str) -> None:
+    # --- enforce a proportional CPU budget (the honest N-vs-4N proxy) ---
+    # Spark's local[N] bounds TASK SLOTS only; JVM GC/shuffle/IO threads,
+    # Python workers, and BLAS threads free-ride on every other core of
+    # the box, so an unpinned local[2] run secretly uses far more than 2
+    # cores and the measured 2->8 "speedup" collapses (driver round 1:
+    # 0.462). Pinning each level to cores*HEADROOM CPUs (task slots +
+    # Python-worker headroom, SAME ratio at both levels) makes the
+    # resource budget actually scale 4x between the two runs, like N vs
+    # 4N executors that each own their cores. The JVM is started after
+    # setaffinity so availableProcessors / GC threads inherit the budget.
+    headroom = int(os.environ.get("SPARK_GRAFT_CPU_HEADROOM", "2"))
+    try:
+        budget = min(cores * headroom, os.cpu_count() or cores)
+        os.sched_setaffinity(0, set(range(budget)))
+    except (AttributeError, OSError):
+        pass
+    # numpy/BLAS must not fan out beyond the budget either
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS"):
+        os.environ[var] = "1"
     _POINTS_CACHE[n_rows] = pts_path
     s = make_session(cores)
+    # one FULL-SIZE warmup rep, discarded: first full run pays JIT /
+    # codegen / page-cache costs (round-1 local[32] reps decayed
+    # 16.5 -> 7.6 s across reps — that's warmup, not noise)
+    warmup_sec, _ = flagship_job(s, n_rows)
     secs = []
     n_out = 0
     # the sandbox's wall clock is noisy (2x swings between identical
@@ -265,7 +298,10 @@ def _flagship_subprocess(cores: int, n_rows: int, pts_path: str) -> None:
         secs.append(sec)
     s.stop()
     print(json.dumps({"sec": min(secs), "out_rows": n_out,
-                      "reps": [round(x, 2) for x in secs]}))
+                      "reps": [round(x, 2) for x in secs],
+                      "warmup_sec": round(warmup_sec, 2),
+                      "cpu_budget": budget,
+                      "median_sec": round(sorted(secs)[len(secs) // 2], 2)}))
 
 
 if __name__ == "__main__":

@@ -191,16 +191,42 @@ SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {k}
 """
 
 
+EMB_DEDUP_SALT_TARGET = 100_000   # rows per (bucket, salt) slice
+EMB_DEDUP_MAX_SALT = 16
+
+
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str,
                            tau: float = 0.2) -> DataFrame:
     """embedding near-dup pairs: cosine >= tau within LSH probe
-    buckets (bucketed all-pairs instead of a full cross join)."""
+    buckets (bucketed all-pairs instead of a full cross join).
+
+    Hot-bucket guard (VERDICT r1 item 8): one skewed LSH bucket would
+    otherwise put its whole O(m²) pair workload on a single reducer.
+    Per-bucket counts (≤ 2^N_PLANES groups, a cheap partial agg — no
+    driver collect) assign a salt factor to oversized buckets; side a
+    keeps its own salt ``hash(vec_id) % factor``, side c replicates to
+    every salt of its bucket, and the join key becomes (bucket, salt).
+    Each pair still matches exactly once → output identical (pinned by
+    tests), but a hot bucket's pairs spread across ``factor`` tasks.
+    """
     emb = _emb(spark, sf_dir)
     b = lsh_buckets(spark, sf_dir)
     e = emb.join(b, "vec_id")
-    a = e.alias("a")
-    c = e.alias("c")
+    sizes = e.groupBy("bucket").agg(F.count("*").alias("bkt_n"))
+    factor = F.least(
+        F.greatest(F.ceil(F.col("bkt_n") / F.lit(EMB_DEDUP_SALT_TARGET)),
+                   F.lit(1)),
+        F.lit(EMB_DEDUP_MAX_SALT)).cast("int")
+    e = e.join(F.broadcast(sizes), "bucket") \
+        .withColumn("salt_factor", factor).drop("bkt_n")
+    a = e.withColumn(
+        "salt", F.pmod(F.hash("vec_id"), F.col("salt_factor"))).alias("a")
+    c = e.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0),
+                                     F.col("salt_factor") - F.lit(1)))) \
+        .alias("c")
     d = a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.salt") == F.col("c.salt"))
                & (F.col("a.vec_id") < F.col("c.vec_id")))
     dot = _dot(F.col("a.embedding"), F.col("c.embedding"))
     na = _dot(F.col("a.embedding"), F.col("a.embedding"))

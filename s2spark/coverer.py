@@ -165,23 +165,25 @@ class RegionCoverer:
         self._initial_candidates(region, pq, result, tiebreak, interior)
         while pq and (not interior or len(result) < self.max_cells):
             _, _, candidate = heapq.heappop(pq)
-            # interior coverings always subdivide (the pop loop bounds
-            # them); exterior coverings must fit every child plus the
-            # remaining queue within the budget, else the candidate
-            # itself becomes a covering cell
-            if (interior
-                    or candidate.cell.level < self.min_level
+            # subdivision gate (reference semantics): exterior coverings
+            # must fit every child plus the REMAINING QUEUE within the
+            # budget (each queued candidate will emit >= 1 cell), else
+            # the candidate itself becomes a covering cell; interior
+            # coverings only count emitted results (queued candidates
+            # may legally emit nothing) and DROP a candidate that
+            # doesn't fit — emitting it would break the ⊆ invariant
+            budget_used = len(result) + (0 if interior else len(pq))
+            if (candidate.cell.level < self.min_level
                     or len(candidate.children) == 1
-                    or (len(result) + len(pq) + len(candidate.children)
+                    or (budget_used + len(candidate.children)
                         <= self.max_cells)):
                 for child in candidate.children:
-                    if interior and len(result) >= self.max_cells:
-                        break
                     self._add_candidate(region, child, pq, result, tiebreak,
                                         interior)
-            else:
+            elif not interior:
                 candidate.is_terminal = True
                 result.append(candidate.cell.cid)
+            # else: interior candidate over budget — dropped
         return result
 
 

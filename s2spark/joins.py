@@ -344,6 +344,16 @@ def cell_containment_join(cells: DataFrame, container: DataFrame,
     The join is a UNION of plain hash equi-joins, one per distinct
     container level (bounded by 31) — no range join, no nested loop,
     scales like any equi-join and broadcasts when small.
+
+    Multiplicity: with a NORMALIZED container set (disjoint cells, the
+    CellUnion invariant) each contained cell matches exactly one level.
+    For arbitrary containers holding nested cells at several levels, a
+    cell could match more than one union arm, so the left_semi form
+    dedupes across arms (``distinct``) to keep "contained in ANY"
+    set semantics; callers needing input multiplicity must pass
+    normalized containers. ``container_levels=None`` triggers a small
+    driver collect of the distinct levels (bounded ≤ 31) — pass it
+    explicitly on the hot path.
     """
     if container_levels is None:
         container_levels = [r["lvl"] for r in container.select(
@@ -357,7 +367,11 @@ def cell_containment_join(cells: DataFrame, container: DataFrame,
             CC.parent(cells["cell_id"], lvl) == F.col("_container"),
             how)
         out = snapped if out is None else out.unionAll(snapped)
-    return out if out is not None else cells.limit(0)
+    if out is None:
+        return cells.limit(0)
+    if how == "left_semi" and len(container_levels) > 1:
+        out = out.distinct()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -430,8 +444,22 @@ def knn_join(spark: SparkSession, points: DataFrame,
         if safe_chord2(r) >= 4.0:
             break
 
-    cand = _candidates_df(spark, queries, rings,
-                          {qid: k for qid, _, _, k in queries})
+    if active and safe_chord2(r) < 4.0:
+        # max_rings exhausted with unfinished queries (sparse data /
+        # coarse level): the rings certify nothing beyond r·min_width,
+        # so fall back to exact brute force for JUST those queries —
+        # their candidate set becomes every occupied tile (bounded by
+        # 6·4^level). Finished queries keep their certified rings.
+        finished = {qid: k for qid, _, _, k in queries if qid not in active}
+        cand = _candidates_df(spark, queries, rings, finished)
+        qid_df = spark.createDataFrame([(int(q),) for q in active],
+                                       "query_id long")
+        cand = cand.unionAll(
+            qid_df.crossJoin(pts.select("tile").distinct())
+            .select("query_id", "tile"))
+    else:
+        cand = _candidates_df(spark, queries, rings,
+                              {qid: k for qid, _, _, k in queries})
     out = _rank_candidates(pts, cand,
                            {qid: (qlat, qlng, k)
                             for qid, qlat, qlng, k in queries})

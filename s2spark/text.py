@@ -401,19 +401,40 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
                   max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
     """near-dup pairs by SimHash hamming distance <= ``max_hamming``.
 
-    Small-table form is a self-join with bit_count(xor) (pure JVM); at
-    web scale you'd first band on simhash prefixes (the MinHash/LSH
-    pattern above) so the join is an equi-join — same output.
+    Pigeonhole banding makes this an EQUI-join (shuffles on the band
+    key, scales): split the 16-bit simhash into ``max_hamming + 1``
+    bands; any pair at hamming <= max_hamming differs in at most
+    max_hamming bands, so it agrees EXACTLY on at least one band.
+    Candidates = union of per-band equi-joins; the exact
+    ``bit_count(xor)`` filter then removes false positives. Output is
+    identical to the naive all-pairs theta join (which planned as a
+    BroadcastNestedLoop, O(n²) — tests/test_plans.py pins its absence).
     """
     sig = simhash(spark, sf_dir)
-    a = sig.alias("a")
-    b = sig.alias("b")
+    n_bands = max_hamming + 1
+    assert SIMHASH_BITS % n_bands == 0, "band width must divide bits"
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    parts = [
+        sig.select(
+            "doc_id", "simhash", F.lit(i).alias("band"),
+            F.shiftright("simhash", i * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("band_key"))
+        for i in range(n_bands)]
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
+    a = bands.alias("a")
+    b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")) \
+    return a.join(b, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))) \
         .where(ham <= F.lit(max_hamming)) \
         .select(F.col("a.doc_id").alias("d1"),
                 F.col("b.doc_id").alias("d2"),
-                ham.cast("int").alias("hamming"))
+                ham.cast("int").alias("hamming")) \
+        .distinct()
 
 
 def simhash_pairs_sql(max_hamming: int = SIMHASH_HAMMING_MAX) -> str:

@@ -76,6 +76,57 @@ def test_tile_path_is_whole_stage_codegen(spark, sf_dir):
         assert bad not in plan
 
 
+def test_simhash_pairs_no_nested_loop(spark, sf_dir):
+    """pigeonhole banding must keep simhash_pairs an equi-join — the
+    naive a.doc_id < b.doc_id theta join planned as a
+    BroadcastNestedLoop (O(n²) scale cliff, VERDICT r1 item 3)."""
+    from s2spark import text as T
+    plan = _plan(T.simhash_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_banding_equivalence(spark, sf_dir):
+    """banded candidates + exact filter == naive all-pairs filter."""
+    from s2spark import text as T
+    sig = T.simhash(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    naive = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")) \
+        .where(ham <= F.lit(T.SIMHASH_HAMMING_MAX)) \
+        .select(F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+                ham.cast("int").alias("hamming"))
+    banded = T.simhash_pairs(spark, sf_dir)
+    assert sorted(map(tuple, naive.collect())) == \
+        sorted(map(tuple, banded.collect()))
+
+
+def test_embedding_dedup_salting_equivalence(spark, sf_dir, monkeypatch):
+    """hot-bucket salting must not change the pair set: force the salt
+    to engage (tiny per-slice target) and compare against the plain
+    within-bucket self-join."""
+    from s2spark import ann as A
+    naive_e = A._emb(spark, sf_dir).join(A.lsh_buckets(spark, sf_dir),
+                                         "vec_id")
+    a, c = naive_e.alias("a"), naive_e.alias("c")
+    dot = A._dot(F.col("a.embedding"), F.col("c.embedding"))
+    na = A._dot(F.col("a.embedding"), F.col("a.embedding"))
+    nb = A._dot(F.col("c.embedding"), F.col("c.embedding"))
+    naive = a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+                   & (F.col("a.vec_id") < F.col("c.vec_id"))) \
+        .select(F.col("a.vec_id").alias("v1"),
+                F.col("c.vec_id").alias("v2"),
+                (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cosine")) \
+        .where(F.col("cosine") >= F.lit(0.2)) \
+        .select("v1", "v2", F.round("cosine", 6).alias("cosine"))
+    monkeypatch.setattr(A, "EMB_DEDUP_SALT_TARGET", 5)
+    salted = A.embedding_cosine_dedup(spark, sf_dir)
+    assert "CartesianProduct" not in _plan(salted)
+    assert sorted(map(tuple, naive.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
 def test_parquet_filter_pushdown(spark, sf_dir):
     """non-geo predicates reach the parquet scan (PushedFilters)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
