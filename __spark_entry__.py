@@ -39,8 +39,20 @@ def _ensure_shipped(spark: SparkSession) -> None:
         return
     repo = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(repo, "dist", "s2spark.zip")
-    try:
+
+    def _stale() -> bool:
         if not os.path.exists(zip_path):
+            return True
+        zmt = os.path.getmtime(zip_path)
+        for root, _, files in os.walk(os.path.join(repo, "s2spark")):
+            for f in files:
+                if f.endswith(".py") \
+                        and os.path.getmtime(os.path.join(root, f)) > zmt:
+                    return True
+        return False
+
+    try:
+        if _stale():  # rebuild on any source change — stale zips ship
             sys.path.insert(0, os.path.join(repo, "scripts"))
             import make_pyfiles
             zip_path = make_pyfiles.main()
@@ -89,8 +101,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """encode + parent tiling + per-tile counts (SURVEY §2.1 + §2.2
-    parent). Rows-only check (Hilbert encode is not SQL-expressible);
-    bit-exactness is covered by kernel parity/golden tests."""
+    parent). Full value-hash oracle via the committed golden fixture
+    tests/golden/geo_points.parquet (frozen kernel encodes keyed by
+    (lat, lng)); kernel bit-exactness separately anchored by the
+    s2sphere README golden tokens."""
     pts = J.with_cell_id(FX.points_df(spark, sf_dir))
     return pts.withColumn("tile_id", CC.parent("cell_id", 12)) \
         .groupBy(CC.token("tile_id").alias("tile_token")) \
@@ -228,6 +242,40 @@ def _q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.pip_join_salted(FX.points_df(spark, sf_dir), cov_df, params)
 
 
+def _q_pip_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """planner-routed PIP join (SURVEY §4.3): sampled bucket stats →
+    hot-tile salt map → choose_pip_strategy picks broadcast-bucketed /
+    salted / targeted-salted; must equal every other PIP variant AND
+    the oracle. Covers strategy selection end-to-end (VERDICT r1
+    item 9)."""
+    from s2spark import plan as P
+    cov_rows, params = _coverings()
+    pts = FX.points_df(spark, sf_dir)
+    counts = P.bucket_counts(pts, bucket_level=8)
+    salts = P.hot_bucket_salts(counts)
+    strategy = P.choose_pip_strategy(len(cov_rows), salts)
+    cov_df = J.coverings_df(spark, cov_rows, bucket_level=8)
+    if strategy == "bucketed":
+        return J.pip_join_bucketed(pts, cov_df, params, bucket_level=8)
+    if strategy == "salted_targeted":
+        return P.pip_join_salted_targeted(pts, cov_df, params, salts,
+                                          bucket_level=8)
+    return J.pip_join_salted(pts, cov_df, params)
+
+
+def _q_pip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP against the general simple polygon fixture (concave,
+    non-star U-shape, region 25) — winding-parity containment
+    (SURVEY §1.1 row 12); full value-hash oracle from the identical
+    crossing-test SQL."""
+    rid = FX.SPOLYS[0][0]
+    objs = {rid: FX.region_objects()[rid]}
+    params = {rid: FX.region_params()[rid]}
+    cov_rows = J.compute_coverings(objs)
+    return J.pip_join_broadcast(FX.points_df(spark, sf_dir), cov_rows,
+                                params)
+
+
 def _q_pip_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """buffered point-in-region: the cap fixtures dilated by
     Cap.expanded (SURVEY §2.4 cap ops — the buffer/kNN-bound
@@ -268,10 +316,23 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       level=6)
 
 
+def _q_knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact kNN with the query set as a DATAFRAME (~1000 queries at
+    sf0.01, derived from the point table) — the large-query-set scale
+    path (SURVEY §2.5 kNN; VERDICT r1 item 5): ring state in
+    DataFrames, per-round satisfied-query anti-join, no per-ring
+    collect. Brute-force SQL oracle."""
+    pts = FX.points_df(spark, sf_dir)
+    q = pts.where(F.pmod("point_id", FX.KNN_MANY_MOD) == 0) \
+        .groupBy(F.col("point_id").alias("query_id")) \
+        .agg(F.min("lat").alias("lat"), F.min("lng").alias("lng"))
+    return J.knn_join_df(pts, q, level=6, k=FX.KNN_MANY_K)
+
+
 def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """raster tile <-> vector covering alignment (SURVEY §2.5 raster
-    row). Rows-only (tile ids need the encoder); the region/point
-    membership underneath is oracle-checked by q_pip_broadcast."""
+    row). Full value-hash oracle: membership from the exact region
+    predicates + tile ids from the frozen golden-fixture encodes."""
     cov_rows, params = _coverings()
     return J.raster_vector_align(FX.points_df(spark, sf_dir), cov_rows,
                                  params, level=8)
@@ -376,6 +437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_broadcast": _q_pip_broadcast,
         "pip_bucketed": _q_pip_bucketed,
         "pip_salted": _q_pip_salted,
+        "pip_planned": _q_pip_planned,
+        "pip_polygon": _q_pip_polygon,
+        "knn_many": _q_knn_many,
         "pip_buffered": _q_pip_buffered,
         "pip_anti": _q_pip_anti,
         "region_stats": _q_region_stats,
@@ -538,6 +602,35 @@ SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
+    # encode-downstream oracles via the committed golden fixture
+    # (lat, lng) -> kernel leaf_cell_id — a silent encode regression
+    # now trips the driver gate, not just pytest (VERDICT r1 item 4)
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "golden", "geo_points.parquet")
+    tile_assign = f"""
+WITH p AS ({FX.POINTS_SQL.strip()}),
+g AS (SELECT lat, lng, leaf_cell_id FROM read_parquet('{golden}')),
+j AS (SELECT leaf_cell_id FROM p JOIN g USING (lat, lng))
+SELECT {synth.token_sql(synth.parent_sql('leaf_cell_id', 12))}
+           AS tile_token,
+       count(*) AS n_points
+FROM j GROUP BY 1
+"""
+    rv_arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({rid} AS BIGINT) AS region_id, lat, lng "
+        f"FROM ptx WHERE " + FX.region_predicate_sql(rid)
+        for rid in sorted(FX.region_params()))
+    raster_vector = f"""
+WITH ptx AS ({FX.PTX_SQL.strip()}),
+g AS (SELECT lat, lng, leaf_cell_id FROM read_parquet('{golden}')),
+m AS ({rv_arms}),
+j AS (SELECT m.region_id, m.lat, m.lng, g.leaf_cell_id
+      FROM m JOIN g USING (lat, lng))
+SELECT region_id, count(*) AS n_points,
+       round(avg(lat), 6) AS avg_lat, round(avg(lng), 6) AS avg_lng,
+       {synth.token_sql(synth.parent_sql('leaf_cell_id', 8))} AS tile_token
+FROM j GROUP BY region_id, {synth.parent_sql('leaf_cell_id', 8)}
+"""
     return {
         "cell_algebra": cell_algebra,
         "cell_children": cell_children,
@@ -569,14 +662,21 @@ WHERE {synth.parent_sql('cell_id', 8)} IN (SELECT cell_id FROM a)
         "pip_broadcast": pip_cast,
         "pip_bucketed": pip_cast,
         "pip_salted": pip_cast,
+        "pip_planned": pip_cast,
+        "pip_polygon": f"""
+WITH ptx AS ({FX.PTX_SQL.strip()})
+SELECT CAST({FX.SPOLYS[0][0]} AS BIGINT) AS region_id, point_id
+FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
+""",
         "pip_buffered": ("SELECT CAST(region_id AS BIGINT) AS region_id,"
                          " point_id FROM ("
                          + FX.buffered_pip_oracle_sql() + ")"),
         "pip_anti": pip_anti,
         "region_stats": region_stats,
         "knn": FX.knn_oracle_sql(),
-        # tile_assign / raster_vector: rows-only (need the Hilbert
-        # encoder; covered by kernel golden + property tests)
+        "knn_many": FX.knn_many_oracle_sql(),
+        "tile_assign": tile_assign,
+        "raster_vector": raster_vector,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": T.minhash_lsh_sql(),

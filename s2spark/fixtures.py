@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from s2spark.geometry import (
     Cap,
     LatLngRect,
+    SimplePolygon,
     SphericalPolygon,
     StarPolygon,
     cross,
@@ -98,6 +99,16 @@ STARS = [
     (24, _star_vertices(52.113, 58.277, 6.1, 2.3)),
 ]
 
+# general simple polygon (concave, NOT star-shaped): a U/horseshoe
+# around (−18, −47) — points deep in one arm cannot see the other arm
+# from any interior kernel point, so StarPolygon rejects it
+# (tests assert that); winding-parity containment handles it exactly.
+SPOLYS = [
+    (25, [(-22.117, -49.813), (-22.117, -44.209), (-14.321, -44.209),
+          (-14.321, -46.117), (-20.213, -46.117), (-20.213, -48.023),
+          (-14.321, -48.023), (-14.321, -49.813)]),
+]
+
 # convex CCW polygons: (region_id, [(lat, lng), ...])
 POLYS = [
     (21, [(30.117, -10.413), (30.117, 10.413), (45.221, 14.332),
@@ -120,6 +131,8 @@ def region_objects() -> dict[int, object]:
         out[rid] = SphericalPolygon(verts)
     for rid, verts in STARS:
         out[rid] = StarPolygon(verts)
+    for rid, verts in SPOLYS:
+        out[rid] = SimplePolygon(verts)
     return out
 
 
@@ -151,6 +164,8 @@ def region_params() -> dict[int, tuple[str, list[float]]]:
             tri.extend(e1)
             tri.extend(e2)
         out[rid] = ("star", tri)
+    for rid, verts in SPOLYS:
+        out[rid] = ("spoly", SimplePolygon(verts).crossing_params())
     return out
 
 
@@ -191,6 +206,18 @@ def region_predicate_sql(rid: int) -> str:
                 f" AND (({e[3]!r}) * px + ({e[4]!r}) * py + ({e[5]!r}) * pz >= 0.0)"
                 f" AND (({e[6]!r}) * px + ({e[7]!r}) * py + ({e[8]!r}) * pz >= 0.0))")
         return "(" + " OR ".join(tris) + ")"
+    if kind == "spoly":
+        arms = []
+        for t in range(0, len(params), 10):
+            nx, ny, nz, acb, ux, uy, uz, wx, wy, wz = params[t:t + 10]
+            arms.append(
+                f"(CASE WHEN ({acb!r}) * (({nx!r}) * px + ({ny!r}) * py"
+                f" + ({nz!r}) * pz) > 0.0"
+                f" AND ({acb!r}) * (({ux!r}) * px + ({uy!r}) * py"
+                f" + ({uz!r}) * pz) > 0.0"
+                f" AND ({acb!r}) * (({wx!r}) * px + ({wy!r}) * py"
+                f" + ({wz!r}) * pz) > 0.0 THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(arms) + ") % 2 = 1)"
     terms = []
     for i in range(0, len(params), 3):
         ex, ey, ez = params[i:i + 3]
@@ -260,6 +287,48 @@ KNN_QUERIES = [
     (7, -62.5, -58.3, 50),       # Antarctic
     (8, 35.676, 139.650, 50),
 ]
+
+
+KNN_MANY_MOD = 61   # queries = points with point_id % 61 == 0
+KNN_MANY_K = 3
+
+
+def knn_many_queries_sql() -> str:
+    """deterministic large query set derived from the point table:
+    one query per point_id divisible by KNN_MANY_MOD (duplicate
+    point_ids collapsed with min — the id packing collides)."""
+    return (f"SELECT point_id AS query_id, min(lat) AS qlat, "
+            f"min(lng) AS qlng FROM ({POINTS_SQL.strip()}) "
+            f"WHERE point_id % {KNN_MANY_MOD} = 0 GROUP BY 1")
+
+
+def knn_many_oracle_sql() -> str:
+    """brute-force exact kNN over the derived query table."""
+    return f"""
+WITH ptx AS ({PTX_SQL.strip()}),
+q AS ({knn_many_queries_sql()}),
+qx AS (
+  SELECT query_id,
+         cos(qlng * {DEG!r}) * cos(qlat * {DEG!r}) AS qx,
+         sin(qlng * {DEG!r}) * cos(qlat * {DEG!r}) AS qy,
+         sin(qlat * {DEG!r}) AS qz
+  FROM q
+),
+d AS (
+  SELECT query_id, point_id,
+         (qx - px) * (qx - px) + (qy - py) * (qy - py)
+         + (qz - pz) * (qz - pz) AS dist2
+  FROM qx CROSS JOIN ptx
+),
+r AS (
+  SELECT query_id, point_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist2, point_id) AS rnk
+  FROM d
+)
+SELECT query_id, point_id, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {KNN_MANY_K}
+"""
 
 
 def knn_oracle_sql() -> str:

@@ -1133,6 +1133,109 @@ class StarPolygon:
         return cap
 
 
+class SimplePolygon:
+    """general SIMPLE spherical polygon — concave, non-star allowed
+    (SURVEY §1.1 row 12: real admin boundaries are neither convex nor
+    star-shaped). Containment by crossing parity against a fixed
+    reference point known to be outside (``sphere.py ::
+    simple_crossing`` per edge; the parity bookkeeping of
+    ``S2Loop.contains``): p is inside iff arc(o → p) crosses the
+    boundary an odd number of times. Orientation-free. Exact and
+    SQL-expressible (each crossing is three sign tests with
+    precomputed constants), so PIP joins over it get a full DuckDB
+    value-hash oracle.
+
+    The reference point is the antipode of the vertex centroid —
+    outside any polygon small enough to have a < π/2 cap bound (all
+    engine fixtures; asserted non-degenerate vs every edge plane).
+    """
+
+    __slots__ = ("vertices", "ref", "_params")
+
+    def __init__(self, latlngs):
+        self.vertices = [latlng_to_point(la, ln) for (la, ln) in latlngs]
+        n = len(self.vertices)
+        if n < 3:
+            raise ValueError("polygon needs >= 3 vertices")
+        cx = sum(v[0] for v in self.vertices)
+        cy = sum(v[1] for v in self.vertices)
+        cz = sum(v[2] for v in self.vertices)
+        c = normalize((cx, cy, cz))
+        self.ref = (-c[0], -c[1], -c[2])
+        params: list[float] = []
+        for i in range(n):
+            a = self.vertices[i]
+            b = self.vertices[(i + 1) % n]
+            nn = cross(a, b)
+            acb = -dot(nn, self.ref)
+            if abs(acb) < 1e-15:
+                raise ValueError("reference point degenerate vs an edge "
+                                 "plane; perturb the polygon")
+            u = cross(self.ref, b)
+            w = cross(a, self.ref)
+            params.extend([nn[0], nn[1], nn[2], acb,
+                           u[0], u[1], u[2], w[0], w[1], w[2]])
+        self._params = params
+
+    def crossing_params(self) -> list[float]:
+        """10 floats per edge for the vectorized kernel + oracle SQL
+        (``s2spark.kernels.regions.simplepoly_contains``)."""
+        return list(self._params)
+
+    def contains_point(self, p) -> bool:
+        crossings = 0
+        for t in range(0, len(self._params), 10):
+            nx, ny, nz, acb, ux, uy, uz, wx, wy, wz = \
+                self._params[t:t + 10]
+            if (acb * (nx * p[0] + ny * p[1] + nz * p[2]) > 0.0
+                    and acb * (ux * p[0] + uy * p[1] + uz * p[2]) > 0.0
+                    and acb * (wx * p[0] + wy * p[1] + wz * p[2]) > 0.0):
+                crossings += 1
+        return crossings % 2 == 1
+
+    def contains_latlng(self, lat_deg: float, lng_deg: float) -> bool:
+        return self.contains_point(latlng_to_point(lat_deg, lng_deg))
+
+    # --- region interface (coverer input) ----------------------------------
+
+    def _edges(self):
+        n = len(self.vertices)
+        for i in range(n):
+            yield self.vertices[i], self.vertices[(i + 1) % n]
+
+    def contains(self, cell: Cell) -> bool:
+        cell_v = [cell.get_vertex(k) for k in range(4)]
+        if not all(self.contains_point(v) for v in cell_v):
+            return False
+        # a polygon vertex inside the cell means boundary intrudes
+        if any(cell.contains(v) for v in self.vertices):
+            return False
+        for a, b in self._edges():
+            for k in range(4):
+                if simple_crossing(a, b, cell_v[k], cell_v[(k + 1) & 3]):
+                    return False
+        return True
+
+    def may_intersect(self, cell: Cell) -> bool:
+        cell_v = [cell.get_vertex(k) for k in range(4)]
+        if any(self.contains_point(v) for v in cell_v):
+            return True
+        if any(cell.contains(v) for v in self.vertices):
+            return True
+        for a, b in self._edges():
+            for k in range(4):
+                if simple_crossing(a, b, cell_v[k], cell_v[(k + 1) & 3]):
+                    return True
+        return False
+
+    def get_cap_bound(self) -> Cap:
+        c = self.ref
+        cap = Cap(normalize((-c[0], -c[1], -c[2])), 0.0)
+        for v in self.vertices:
+            cap = cap.add_point(v)
+        return cap
+
+
 # ---------------------------------------------------------------------------
 # CellUnion (``sphere.py :: CellUnion``)
 # ---------------------------------------------------------------------------

@@ -63,6 +63,31 @@ def poly_contains(lat_deg, lng_deg, edge_normals) -> np.ndarray:
     return out
 
 
+def simplepoly_contains(lat_deg, lng_deg, params) -> np.ndarray:
+    """general SIMPLE polygon (may be concave, non-star) via crossing
+    parity: p is inside iff the great-circle arc from a fixed
+    reference point o (outside the polygon) to p crosses the boundary
+    an odd number of times (``sphere.py :: simple_crossing`` per edge;
+    the parity trick of ``S2Loop.contains``).
+
+    ``params`` is 10 floats per edge, precomputed from edge (a, b) and
+    reference o (``geometry.SimplePolygon.crossing_params``):
+      n = cross(a, b); acb = -dot(n, o); u = cross(o, b); w = cross(a, o)
+    crossing ⇔ acb·(n·p) > 0 ∧ acb·(u·p) > 0 ∧ acb·(w·p) > 0.
+    Orientation-free (parity ignores winding direction). The oracle
+    SQL reproduces the identical constants and op order.
+    """
+    x, y, z = latlng_to_xyz_oracle(np.asarray(lat_deg), np.asarray(lng_deg))
+    crossings = np.zeros(x.shape, dtype=np.int64)
+    for t in range(0, len(params), 10):
+        nx, ny, nz, acb, ux, uy, uz, wx, wy, wz = params[t:t + 10]
+        m = (acb * (nx * x + ny * y + nz * z) > 0.0) \
+            & (acb * (ux * x + uy * y + uz * z) > 0.0) \
+            & (acb * (wx * x + wy * y + wz * z) > 0.0)
+        crossings += m
+    return (crossings % 2) == 1
+
+
 def chord_dist2(lat1, lng1, lat2, lng2) -> np.ndarray:
     """squared chord distance |p1-p2|² (monotone in angle)."""
     x1, y1, z1 = latlng_to_xyz_oracle(np.asarray(lat1), np.asarray(lng1))

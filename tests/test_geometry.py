@@ -238,3 +238,50 @@ def test_face_cells_partition_sphere():
             for leaf in leaves[:200]]
     assert all(h == 1 for h in hits)
     assert all(faces.contains_cellid(int(leaf)) for leaf in leaves[:200])
+
+
+def test_simple_polygon_concave():
+    """general simple polygon (SURVEY §1.1 row 12): the U-shape
+    fixture is concave and NOT star-shaped; winding parity classifies
+    arms/notch/outside correctly and agrees with the vectorized
+    kernel and the scalar form everywhere."""
+    from s2spark.fixtures import SPOLYS
+    from s2spark.geometry import SimplePolygon, StarPolygon
+    from s2spark.kernels import regions as RK
+
+    verts = SPOLYS[0][1]
+    with pytest.raises(ValueError):
+        StarPolygon(verts)  # proves the fixture is genuinely non-star
+    p = SimplePolygon(verts)
+    assert p.contains_latlng(-16.0, -49.0)      # left arm
+    assert p.contains_latlng(-16.0, -44.8)      # right arm
+    assert p.contains_latlng(-21.0, -47.0)      # bottom bar
+    assert not p.contains_latlng(-16.0, -47.0)  # the notch
+    assert not p.contains_latlng(-13.0, -47.0)  # above the opening
+    assert not p.contains_latlng(40.0, 10.0)    # far away
+    lat = RNG.uniform(-26, -11, 4000)
+    lng = RNG.uniform(-53, -41, 4000)
+    kern = RK.simplepoly_contains(lat, lng, p.crossing_params())
+    scalar = np.array([p.contains_latlng(a, b) for a, b in zip(lat, lng)])
+    assert (kern == scalar).all()
+    assert 0 < kern.sum() < len(kern)
+
+
+def test_simple_polygon_covering():
+    """coverer consumes the SimplePolygon region interface: every
+    contained sample point falls in the covering; interior covering
+    cells are fully contained."""
+    from s2spark.fixtures import SPOLYS
+    from s2spark.geometry import SimplePolygon
+
+    p = SimplePolygon(SPOLYS[0][1])
+    cov = RegionCoverer(max_cells=64).get_covering(p)
+    lat = RNG.uniform(-23, -13, 2000)
+    lng = RNG.uniform(-51, -43, 2000)
+    for la, ln in zip(lat, lng):
+        if p.contains_latlng(la, ln):
+            assert cov.contains_cellid(cid_from_lat_lng(la, ln))
+    interior = RegionCoverer(max_cells=64).get_interior_covering(p)
+    for cid in interior:
+        cell = Cell(cid)
+        assert all(p.contains_point(cell.get_vertex(k)) for k in range(4))
