@@ -112,8 +112,10 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cell_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parent/level/range/token/sortable as pure Column exprs over
-    synthetic valid ids (SURVEY §2.2), full value-hash oracle."""
+    """parent/level/range/token/sortable + Hilbert traversal
+    (next/prev, wrap variants, child_position, advance_wrap) as pure
+    Column exprs over synthetic valid ids (SURVEY §2.2), full
+    value-hash oracle."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     df = li.select(
         (F.col("l_orderkey") * F.lit(1000000)
@@ -130,6 +132,13 @@ def _q_cell_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         CC.token("cell_id").alias("token"),
         CC.sortable("cell_id").alias("sortable"),
         CC.face("cell_id").alias("face"),
+        CC.next_cell("cell_id").alias("next_c"),
+        CC.prev_cell("cell_id").alias("prev_c"),
+        CC.next_wrap("cell_id").alias("next_w"),
+        CC.prev_wrap("cell_id").alias("prev_w"),
+        CC.child_position("cell_id", 5).alias("child_pos_l5"),
+        CC.child_position("cell_id", 12).alias("child_pos_l12"),
+        CC.advance_wrap("cell_id", 123456789, 12).alias("adv_w"),
     )
 
 
@@ -210,8 +219,9 @@ def _q_tile_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moore-neighborhood expansion (SURVEY §2.3): 8 neighbors per
-    level-12 cell via the face-wrapping kernel UDF + explode.
-    Rows-only (neighbor geometry is not SQL-expressible)."""
+    level-12 cell via the face-wrapping kernel UDF + explode. Full
+    value-hash oracle via the frozen kernel-neighbor fixture
+    tests/golden/synth_neighbors.parquet."""
     from s2spark.udfs import s2_neighbors_udf
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # orderBy before limit: deterministic row SET, not just row count
@@ -511,7 +521,14 @@ SELECT point_id, {s} AS cell_id,
        {synth.range_max_sql(s)} AS range_max,
        {synth.token_sql(s)} AS token,
        {synth.sortable_sql(s)} AS sortable,
-       CAST(({s} >> 61) & 7 AS INT) AS face
+       CAST(({s} >> 61) & 7 AS INT) AS face,
+       {synth.next_sql(s)} AS next_c,
+       {synth.prev_sql(s)} AS prev_c,
+       {synth.next_wrap_sql(s)} AS next_w,
+       {synth.prev_wrap_sql(s)} AS prev_w,
+       {synth.child_position_sql(s, 5)} AS child_pos_l5,
+       {synth.child_position_sql(s, 12)} AS child_pos_l12,
+       {synth.advance_wrap_sql(s, 123456789, 12)} AS adv_w
 FROM t
 """
     # children of a level-12 cell: id - lsb + (2k+1)*child_lsb, k=0..3
@@ -616,6 +633,22 @@ SELECT {synth.token_sql(synth.parent_sql('leaf_cell_id', 12))}
        count(*) AS n_points
 FROM j GROUP BY 1
 """
+    golden_nbrs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden", "synth_neighbors.parquet")
+    nbr_cols = ", ".join(f"g.n{k}" for k in range(8))
+    neighbors = f"""
+WITH cells AS (
+  SELECT cell_id FROM (
+    SELECT DISTINCT ({synth.SYNTH_CELL_SQL.strip()}) AS cell_id
+    FROM lineitem)
+  ORDER BY {synth.sortable_sql('cell_id')} LIMIT 2000),
+g AS (SELECT * FROM read_parquet('{golden_nbrs}')),
+j AS (SELECT c.cell_id, unnest([{nbr_cols}]) AS neighbor_id
+      FROM cells c JOIN g ON c.cell_id = g.cell_id)
+SELECT cell_id, neighbor_id,
+       {synth.token_sql('neighbor_id')} AS neighbor_token
+FROM j
+"""
     rv_arms = "\nUNION ALL\n".join(
         f"SELECT CAST({rid} AS BIGINT) AS region_id, lat, lng "
         f"FROM ptx WHERE " + FX.region_predicate_sql(rid)
@@ -677,6 +710,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "knn_many": FX.knn_many_oracle_sql(),
         "tile_assign": tile_assign,
         "raster_vector": raster_vector,
+        "neighbors": neighbors,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": T.minhash_lsh_sql(),

@@ -247,8 +247,10 @@ cluster executors do. Spark's local[N] alone bounds only task slots;
 without pinning the small level free-rides on the whole box and the
 ratio collapses (round-1 driver measurement: 0.462). BLAS pinned to
 1 thread. One full-size warmup rep discarded per level
-(JIT/codegen/page-cache), then min of 4 timed reps on the identical
-materialized parquet input.
+(JIT/codegen/page-cache), then min of 6 timed reps on the identical
+materialized parquet input (reps in the JSON; some levels show
+bimodal reps — min is the steady-state capability, noise in this
+shared sandbox is strictly additive).
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured results
@@ -301,9 +303,11 @@ def _flagship_subprocess(cores: int, n_rows: int, pts_path: str) -> None:
     warmup_sec, _ = flagship_job(s, n_rows)
     secs = []
     n_out = 0
-    # the sandbox's wall clock is noisy (2x swings between identical
-    # runs); min over several reps recovers the steady-state capability
-    for _ in range(4):
+    # the sandbox's wall clock is noisy (2x swings and bimodal reps
+    # between identical runs); min over several reps recovers the
+    # steady-state capability
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
+    for _ in range(n_reps):
         sec, n_out = flagship_job(s, n_rows)
         secs.append(sec)
     s.stop()

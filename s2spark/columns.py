@@ -140,6 +140,83 @@ def advance(cell_id: Column | str, n: Column | int) -> Column:
     return cid + nn * (lsb(cid) * F.lit(2))
 
 
+_Q62 = 1 << 62  # sortable-space value of the wrap offset 6<<61 is 2^62
+
+
+def next_cell(cell_id: Column | str) -> Column:
+    """``CellId.next``: uint64 id + 2·lsb (may run past the face-5 end
+    into the END sentinel). Computed in SORTABLE space: the raw
+    ``id + 2·lsb`` overflows ANSI int64 exactly at the face-3/4 sign
+    crossing, while sortable values stay within (−2^63, 2^62 + lsb]."""
+    cid = _c(cell_id)
+    return unsortable(sortable(cid) + F.lit(2) * lsb(cid))
+
+
+def prev_cell(cell_id: Column | str) -> Column:
+    """``CellId.prev``: uint64 id - 2·lsb (BEGIN-1 sentinel below the
+    face-0 begin, matching uint64 wraparound). Sortable space for the
+    sign crossing; the face-0 underflow branch is plain id-space
+    subtraction whose two's-complement result IS the wrapped uint64
+    pattern."""
+    cid = _c(cell_id)
+    l2 = F.lit(2) * lsb(cid)
+    s = sortable(cid)
+    return F.when(s >= F.lit(SIGN_BIT) + l2, unsortable(s - l2)) \
+        .otherwise(cid - l2)
+
+
+def next_wrap(cell_id: Column | str) -> Column:
+    """``CellId.next_wrap``: Hilbert successor at the cell's level,
+    wrapping from the face-5 end to the face-0 begin.
+
+    Sortable space makes the uint64 wrap-offset comparison (6<<61 ↔
+    sortable 2^62) a plain int64 compare, and the wrapped result is a
+    SINGLE subtraction (``s_n - 2^62`` is directly the face-0 id bit
+    pattern) — no staged constant chain for Catalyst's
+    ReorderAssociativeOperator to fold into an overflowing literal.
+    """
+    cid = _c(cell_id)
+    s_n = sortable(cid) + F.lit(2) * lsb(cid)
+    return F.when(s_n >= F.lit(_Q62), s_n - F.lit(_Q62)) \
+        .otherwise(unsortable(s_n))
+
+
+def prev_wrap(cell_id: Column | str) -> Column:
+    """``CellId.prev_wrap``: Hilbert predecessor, wrapping from the
+    face-0 begin to the face-5 end. In the wrap branch (id < 2·lsb)
+    the face-5 result's bit pattern is exactly ``id - 2·lsb - 2^62``
+    (two's complement does the uint64 wrap) — single-expression,
+    reassociation-safe."""
+    cid = _c(cell_id)
+    l2 = F.lit(2) * lsb(cid)
+    s = sortable(cid)
+    return F.when(s < F.lit(SIGN_BIT) + l2, (cid - l2) - F.lit(_Q62)) \
+        .otherwise(unsortable(s - l2))
+
+
+def child_position(cell_id: Column | str, lvl: int) -> Column:
+    """``CellId.child_position(level)``: which child (0-3) of its
+    level ``lvl - 1`` parent this cell descends through."""
+    shift = 2 * (MAX_LEVEL - lvl) + 1
+    return F.shiftrightunsigned(_c(cell_id), shift) \
+        .bitwiseAND(F.lit(3)).cast("int")
+
+
+def advance_wrap(cell_id: Column | str, n: Column | int,
+                 lvl: int) -> Column:
+    """``CellId.advance_wrap(n)`` for cells at static level ``lvl``:
+    step ``n`` positions along the Hilbert order, modular over all
+    ``6·4^lvl`` cells of the level (negative n allowed, |n| < 2^62 /
+    total). Pure bit math: position via unsigned shift, modular step,
+    re-materialize with a bitwise shift (sign bit lands naturally)."""
+    shift = 2 * (MAX_LEVEL - lvl) + 1
+    total = 6 * (4 ** lvl)
+    nn = F.lit(n) if isinstance(n, int) else n
+    pos = F.shiftrightunsigned(_c(cell_id), shift)
+    new_pos = F.pmod(pos + nn, F.lit(total))
+    return F.shiftleft(new_pos, shift).bitwiseOR(F.lit(lsb_for_level(lvl)))
+
+
 def token(cell_id: Column | str) -> Column:
     """``CellId.to_token``: 16-digit lowercase hex, trailing zeros
     stripped ('X' for the sentinel id 0)."""

@@ -237,6 +237,33 @@ def get_all_neighbors(cell_id, lvl: int, nbr_level: int | None = None) -> np.nda
     return parent(np.stack(cols, axis=1), lvl)
 
 
+def get_vertex_neighbors(cell_id, lvl: int):
+    """vectorized ``CellId.get_vertex_neighbors``: the 3-4 cells at
+    the COARSER level ``lvl`` touching each cell's closest vertex.
+    Returns ``(nbrs, has4)``: (N,4) uint64 in the reference's order
+    [parent, i-offset, j-offset, diagonal] and a (N,) bool — the
+    diagonal slot is only meaningful where ``has4`` (it exists iff the
+    i- or j-offset stays on the face). Semantics anchor:
+    ``sphere.py :: CellId.get_vertex_neighbors`` (scalar twin:
+    ``geometry.cid_vertex_neighbors``)."""
+    ids = _as_u64(cell_id)
+    face, i, j, _ = to_face_ij(ids)
+    halfsize = get_size_ij(lvl + 1)
+    size = halfsize << 1
+    ihalf = (i & halfsize) != 0
+    ioffset = np.where(ihalf, size, -size)
+    isame = np.where(ihalf, (i + size) < MAX_SIZE, (i - size) >= 0)
+    jhalf = (j & halfsize) != 0
+    joffset = np.where(jhalf, size, -size)
+    jsame = np.where(jhalf, (j + size) < MAX_SIZE, (j - size) >= 0)
+    n0 = parent(ids, lvl)
+    n1 = parent(from_face_ij_same(face, i + ioffset, j, isame), lvl)
+    n2 = parent(from_face_ij_same(face, i, j + joffset, jsame), lvl)
+    n3 = parent(from_face_ij_same(face, i + ioffset, j + joffset,
+                                  isame & jsame), lvl)
+    return np.stack([n0, n1, n2, n3], axis=1), (isame | jsame)
+
+
 def ring_expand(cells: np.ndarray, lvl: int) -> np.ndarray:
     """unique union of ``cells`` and their Moore neighborhoods at ``lvl``
     — one kNN ring-growth step (semantics = repeated

@@ -75,3 +75,64 @@ def token_sql(id_sql: str) -> str:
 
 def sortable_sql(id_sql: str) -> str:
     return f"xor(({id_sql}), (-9223372036854775807 - 1))"
+
+
+_Q62 = 1 << 62  # wrap offset 6<<61 in sortable space
+
+
+def next_sql(id_sql: str) -> str:
+    """DuckDB twin of columns.next_cell (sortable space — raw id+2lsb
+    overflows int64 at the face-3/4 sign crossing)."""
+    s_n = f"({sortable_sql(id_sql)} + 2 * (({id_sql}) & -({id_sql})))"
+    return sortable_sql(s_n)
+
+
+def prev_sql(id_sql: str) -> str:
+    """DuckDB twin of columns.prev_cell."""
+    l2 = f"(2 * (({id_sql}) & -({id_sql})))"
+    s = sortable_sql(id_sql)
+    return (f"CASE WHEN {s} >= (-9223372036854775807 - 1) + {l2} "
+            f"THEN {sortable_sql(f'({s} - {l2})')} "
+            f"ELSE ({id_sql}) - {l2} END")
+
+
+def next_wrap_sql(id_sql: str) -> str:
+    """DuckDB twin of columns.next_wrap (single-subtraction wrap)."""
+    s_n = f"({sortable_sql(id_sql)} + 2 * (({id_sql}) & -({id_sql})))"
+    return (f"CASE WHEN {s_n} >= {_Q62} THEN {s_n} - {_Q62} "
+            f"ELSE {sortable_sql(s_n)} END")
+
+
+def prev_wrap_sql(id_sql: str) -> str:
+    """DuckDB twin of columns.prev_wrap."""
+    l2 = f"(2 * (({id_sql}) & -({id_sql})))"
+    s = sortable_sql(id_sql)
+    return (f"CASE WHEN {s} < (-9223372036854775807 - 1) + {l2} "
+            f"THEN ((({id_sql}) - {l2}) - {_Q62}) "
+            f"ELSE {sortable_sql(f'({s} - {l2})')} END")
+
+
+def child_position_sql(id_sql: str, level: int) -> str:
+    """DuckDB twin of columns.child_position: arithmetic shift plus a
+    mask to discard the sign-extension bits."""
+    shift = 2 * (30 - level) + 1
+    mask = (1 << (64 - shift)) - 1
+    return f"CAST(((({id_sql}) >> {shift}) & {mask}) & 3 AS INT)"
+
+
+def advance_wrap_sql(id_sql: str, n: int, level: int) -> str:
+    """DuckDB twin of columns.advance_wrap: position via masked shift,
+    modular step, re-materialized with the INT64_MIN face-offset CASE
+    (DuckDB raises on << overflow, so faces 4-5 can't be shifted)."""
+    shift = 2 * (30 - level) + 1
+    pos_mask = (1 << (64 - shift)) - 1
+    total = 6 * (4 ** level)
+    per_face = 4 ** level
+    lsb = 1 << (2 * (30 - level))
+    pos = f"(((({id_sql}) >> {shift}) & {pos_mask}) + ({n}))"
+    newpos = f"((({pos}) % {total} + {total}) % {total})"
+    face = f"(({newpos}) // {per_face})"
+    inface = f"(({newpos}) % {per_face})"
+    return (f"(CASE WHEN {face} >= 4 THEN (-9223372036854775807 - 1) "
+            f"+ ({face} - 4) * {1 << 61} ELSE {face} * {1 << 61} END "
+            f"+ {inface} * {2 * lsb} + {lsb})")

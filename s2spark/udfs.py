@@ -57,6 +57,22 @@ def s2_neighbors_udf(lvl: int):
     return _nbrs
 
 
+def s2_vertex_neighbors_udf(lvl: int):
+    """UDF factory: array of the 3-4 vertex neighbors at the coarser
+    level ``lvl`` (``CellId.get_vertex_neighbors``) — reference order
+    [parent, i-offset, j-offset(, diagonal)]."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _vn(cell_id: pd.Series) -> pd.Series:
+        ids = cell_id.to_numpy(np.int64).view(np.uint64)
+        nb, has4 = cellops.get_vertex_neighbors(ids, lvl)
+        nb_i64 = nb.view(np.int64)
+        return pd.Series([row[:3 + int(v)].tolist()
+                          for row, v in zip(nb_i64, has4)])
+
+    return _vn
+
+
 def s2_edge_neighbors_udf(lvl: int):
     """UDF factory: array of the 4 edge neighbors at level ``lvl``
     (``CellId.get_edge_neighbors``)."""

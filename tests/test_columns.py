@@ -122,3 +122,72 @@ def test_codegen_no_udf_in_tile_path(spark, id_df):
     plan = df.select(CC.parent("id", 10).alias("t"))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_wrap_traversal_columns(spark):
+    """next_wrap / prev_wrap / advance_wrap / child_position Column ops
+    match the uint64 reference model (``CellId.next_wrap`` etc.),
+    including the face-5-end -> face-0-begin wrap."""
+    M64 = (1 << 64) - 1
+
+    def u(x):
+        return x & M64
+
+    def i64(x):
+        x &= M64
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    WRAP = 6 << 61
+    lvl = 12
+    lsb12 = 1 << (2 * (30 - lvl))
+
+    def py_next_wrap(cid):
+        cu = u(cid)
+        n = u(cu + 2 * (cu & (-cu & M64)))
+        return i64(n - WRAP) if n >= WRAP else i64(n)
+
+    def py_prev_wrap(cid):
+        cu = u(cid)
+        p = u(cu - 2 * (cu & (-cu & M64)))
+        return i64(p + WRAP) if p >= WRAP else i64(p)
+
+    def py_adv(cid, n):
+        sh = 2 * (30 - lvl) + 1
+        total = 6 * 4 ** lvl
+        return i64((((u(cid) >> sh) + n) % total) << sh | lsb12)
+
+    def py_next(cid):
+        cu = u(cid)
+        return i64(cu + 2 * (cu & (-cu & M64)))
+
+    def py_prev(cid):
+        cu = u(cid)
+        return i64(cu - 2 * (cu & (-cu & M64)))
+
+    ids = [lsb12, i64(WRAP - lsb12),                       # begin, end
+           i64(4 << 61 | (77 << 37) | lsb12),              # face 4
+           (3 << 61) | (12345 << 37) | lsb12,              # face 3
+           (1 << 63) - lsb12,                              # face-3 LAST
+           (0 << 61) | ((4 ** lvl - 1) << 37) | lsb12]     # face-0 last
+    df = spark.createDataFrame([(i,) for i in ids], "cell_id long")
+    out = df.select(
+        "cell_id",
+        CC.next_cell("cell_id").alias("nc"),
+        CC.prev_cell("cell_id").alias("pc"),
+        CC.next_wrap("cell_id").alias("nw"),
+        CC.prev_wrap("cell_id").alias("pw"),
+        CC.advance_wrap("cell_id", 123456789, lvl).alias("aw"),
+        CC.advance_wrap("cell_id", 6 * 4 ** lvl, lvl).alias("aident"),
+        CC.child_position("cell_id", lvl).alias("cp"),
+    ).collect()
+    for r in out:
+        cid = r["cell_id"]
+        assert r["nc"] == py_next(cid)
+        assert r["pc"] == py_prev(cid)
+        assert r["nw"] == py_next_wrap(cid)
+        assert r["pw"] == py_prev_wrap(cid)
+        assert r["aw"] == py_adv(cid, 123456789)
+        assert r["aident"] == cid          # full cycle == identity
+        assert r["cp"] == (u(cid) >> (2 * (30 - lvl) + 1)) & 3
+        # wrap round-trips
+        assert py_prev_wrap(r["nw"]) == cid

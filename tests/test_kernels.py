@@ -191,3 +191,25 @@ def test_golden_anchor_tokens():
     # (0,0) is the center of face 0: id = face0 boundary leaf
     faces = (H.lat_lng_to_cell_id(lat, lng) >> np.uint64(61)).astype(int)
     assert faces[2] == 0
+
+
+def test_vertex_neighbors_vectorized_matches_scalar():
+    """vectorized get_vertex_neighbors ≡ the scalar coverer-seed twin
+    (``CellId.get_vertex_neighbors``), including the 3-neighbor corner
+    case and cross-face wraps."""
+    from s2spark.geometry import cid_vertex_neighbors
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-89, 89, 1500)
+    lng = rng.uniform(-180, 180, 1500)
+    leaves = H.lat_lng_to_cell_id(lat, lng)
+    for lvl in (3, 8, 15):
+        cells = C.parent(leaves, lvl + 4)
+        nb, has4 = C.get_vertex_neighbors(cells, lvl)
+        n3 = 0
+        for k in range(len(cells)):
+            want = cid_vertex_neighbors(int(cells[k]), lvl)
+            got = [int(x) for x in nb[k][:3 + int(has4[k])]]
+            assert got == want
+            n3 += len(want) == 3
+        # both cardinalities must occur somewhere in the sample
+        assert 0 <= n3 < len(cells)
