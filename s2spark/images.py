@@ -2,10 +2,11 @@
 
 The input shape is BASELINE.json's input_hint: ``images(image_id,
 bytes, w, h, fmt, caption, phash)`` + geo columns. Pillow is absent in
-this sandbox, so the codecs are stdlib-only — ``raw`` (RGB row-major)
-and ``png`` (zlib deflate, filter 0) — both lossless, so pixel checks
-are exact; the PSNR≥40dB clause is reserved for lossy codecs
-(SURVEY.md §7.4).
+this sandbox, so the codecs are stdlib-only — lossless ``raw`` (RGB
+row-major) and ``png`` (zlib deflate, filter 0) with exact pixel
+checks, plus the LOSSY ``qzl`` (channel quantization + deflate) that
+exercises the PSNR≥40dB verify clause for real (SURVEY.md §7.4,
+BASELINE.json per-row invariant).
 
 Pipeline discipline: decode is the only per-row work (codecs are
 inherently per-row) and runs inside iterator ``mapInPandas`` batches;
@@ -78,11 +79,32 @@ def png_decode(data: bytes) -> np.ndarray:
     return np.stack(rows).reshape(h, w, 3)
 
 
+QUANT_BITS = 2  # qzl drops the 2 low bits/channel -> max |err| 2, ~46dB
+LOSSY_FMTS = frozenset({"qzl"})
+
+
+def qzl_encode(arr: np.ndarray) -> bytes:
+    """LOSSY stdlib codec: quantize each channel to multiples of
+    2^QUANT_BITS (recentred, so max abs error is 2^(QUANT_BITS-1))
+    then deflate. Deterministic; exercises the PSNR>=40dB verify path
+    (BASELINE.json per-row invariant for lossy codecs) for real —
+    uniform quantization error gives MSE 1.5 → ~46 dB."""
+    q = ((arr >> QUANT_BITS) << QUANT_BITS) + (1 << (QUANT_BITS - 1))
+    return zlib.compress(q.astype(np.uint8).tobytes())
+
+
+def qzl_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(data), dtype=np.uint8) \
+        .reshape(h, w, 3)
+
+
 def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "raw":
         return raw_decode(data, w, h)
     if fmt == "png":
         return png_decode(data)
+    if fmt == "qzl":
+        return qzl_decode(data, w, h)
     raise NotImplementedError(
         f"codec {fmt!r} unavailable in this sandbox (no Pillow); "
         "plumbing (schema/batching) is identical for real codecs")
@@ -184,16 +206,19 @@ def synth_images(spark: SparkSession, n: int,
 
     def _gen(batches):
         sizes = (8, 16, 32)
+        fmts = ("raw", "png", "qzl")  # 1/3 lossy: PSNR path exercised
+        encoders = {"raw": raw_encode, "png": png_encode,
+                    "qzl": qzl_encode}
         for pdf in batches:
             rows = []
             for idx in pdf["id"].tolist():
                 w = sizes[idx % 3]
                 h = sizes[(idx // 3) % 3]
-                fmt = "raw" if idx % 2 == 0 else "png"
+                fmt = fmts[idx % 3]
                 lat, lng = _latlng_for(idx)
                 if with_bytes:
                     px = _pixels_for(idx, w, h)
-                    data = raw_encode(px) if fmt == "raw" else png_encode(px)
+                    data = encoders[fmt](px)
                     ph = phash64(px)
                 else:
                     data, ph = None, 0
@@ -212,13 +237,19 @@ def synth_images(spark: SparkSession, n: int,
 # ---------------------------------------------------------------------------
 
 VERIFY_SCHEMA = ("image_id string, caption string, phash_ok boolean, "
-                 "psnr double, mean_px double")
+                 "phash_ham int, pixel_ok boolean, psnr double, "
+                 "mean_px double")
+PSNR_MIN_DB = 40.0  # BASELINE.json: decoded-pixel PSNR>=40dB for lossy
 
 
 def verify_images(images: DataFrame) -> DataFrame:
     """decode + recompute phash + PSNR vs the deterministic reference
     pixels — the end-to-end pipeline-integrity op (BASELINE.json
-    per-row invariant). Iterator mapInPandas; numpy per batch."""
+    per-row invariant: exact pixels for lossless codecs, PSNR >=
+    40 dB for lossy; caption equality rides through unchanged).
+    ``phash_ok`` gates exact-recompute for lossless only — a lossy
+    decode legitimately drifts phash bits (reported as ``phash_ham``).
+    Iterator mapInPandas; numpy per batch."""
 
     def _verify(batches):
         for pdf in batches:
@@ -228,12 +259,18 @@ def verify_images(images: DataFrame) -> DataFrame:
                 idx = int(row.image_id[3:])
                 ref = _pixels_for(idx, row.w, row.h)
                 p = psnr(arr, ref)
+                lossy = row.fmt in LOSSY_FMTS
+                ham = int(bin((phash64(arr) ^ row.phash)
+                              & ((1 << 64) - 1)).count("1"))
+                pixel_ok = bool(p >= PSNR_MIN_DB) if lossy \
+                    else bool(np.array_equal(arr, ref))
                 out.append((row.image_id, row.caption,
-                            phash64(arr) == row.phash,
+                            True if lossy else ham == 0, ham, pixel_ok,
                             p if np.isfinite(p) else 1e9,
                             float(arr.mean())))
             yield pd.DataFrame(out, columns=[
-                "image_id", "caption", "phash_ok", "psnr", "mean_px"])
+                "image_id", "caption", "phash_ok", "phash_ham",
+                "pixel_ok", "psnr", "mean_px"])
 
     return images.mapInPandas(_verify, VERIFY_SCHEMA)
 

@@ -18,6 +18,21 @@ def test_codec_roundtrips():
         assert IM.psnr(arr, arr) == float("inf")
 
 
+def test_lossy_codec_psnr():
+    """qzl is genuinely lossy but stays above the 40 dB per-row
+    invariant; deterministic; decode bits == quantized encode bits."""
+    rng = np.random.default_rng(4)
+    for w, h in [(8, 8), (16, 32), (32, 16)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec = IM.qzl_decode(IM.qzl_encode(arr), w, h)
+        assert not (dec == arr).all()                 # lossy for real
+        p = IM.psnr(arr, dec)
+        assert IM.PSNR_MIN_DB <= p < float("inf")
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() \
+            <= 1 << (IM.QUANT_BITS - 1)
+        assert IM.qzl_encode(arr) == IM.qzl_encode(arr)  # deterministic
+
+
 def test_phash_properties():
     a = IM._pixels_for(5, 32, 32)
     b = IM._pixels_for(900001, 32, 32)
@@ -36,13 +51,20 @@ def test_unsupported_codec_is_stubbed():
 
 
 def test_pipeline_invariants(spark):
-    """decode -> phash recompute == stored, caption survives
-    byte-identical, pixels exact (PSNR sentinel 1e9 for lossless)."""
+    """BASELINE.json per-row invariant over a mixed lossless/lossy
+    population: every row pixel_ok (exact for raw/png, PSNR >= 40 dB
+    for qzl), phash exact-recompute for lossless, caption survives
+    byte-identical."""
     imgs = IM.synth_images(spark, 300)
     v = IM.verify_images(imgs).collect()
     assert len(v) == 300
+    assert all(r["pixel_ok"] for r in v)
     assert all(r["phash_ok"] for r in v)
-    assert all(r["psnr"] == 1e9 for r in v)  # lossless => exact pixels
+    lossless = [r for r in v if r["psnr"] == 1e9]
+    lossy = [r for r in v if r["psnr"] < 1e9]
+    assert len(lossless) == 200 and len(lossy) == 100  # 1/3 qzl
+    assert all(r["phash_ham"] == 0 for r in lossless)
+    assert all(IM.PSNR_MIN_DB <= r["psnr"] for r in lossy)
     caps = {r["image_id"]: r["caption"] for r in v}
     src = {r["image_id"]: r["caption"]
            for r in imgs.select("image_id", "caption").collect()}
