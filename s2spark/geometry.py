@@ -332,6 +332,20 @@ def latlng_distance(lat1: float, lng1: float,
                          latlng_to_point(lat2, lng2))
 
 
+def _point_to_arc_distance(p, a, b) -> float:
+    """angle from point ``p`` to the minor great-circle arc a→b
+    (``sphere.py :: get_distance`` edge-distance primitive): if p's
+    projection onto the arc's great circle lies within the arc, the
+    distance is the |asin| of the normalized plane offset; else the
+    nearer endpoint."""
+    n = robust_cross_prod(a, b)
+    nn = normalize(n)
+    # within-arc test: p between the perpendicular planes at a and b
+    if dot(cross(n, a), p) > 0 and dot(cross(b, n), p) > 0:
+        return abs(math.asin(max(-1.0, min(1.0, dot(nn, p)))))
+    return min(angle_between(p, a), angle_between(p, b))
+
+
 def simple_crossing(a, b, c, d) -> bool:
     """edge AB crosses edge CD at an interior point
     (``sphere.py :: simple_crossing``)."""
@@ -946,6 +960,28 @@ class LatLngRect:
                 angle_rad)
             out = out.union(cap.get_rect_bound())
         return out
+
+    def get_distance(self, lat_deg: float, lng_deg: float) -> float:
+        """angle (radians) from a point to the rect, 0 inside
+        (``LatLngRect.get_distance``): pure latitude distance when the
+        point's longitude is inside the rect's interval, else exact
+        point-to-meridian-segment distance on the nearest lng edge."""
+        p_lat = math.radians(lat_deg)
+        p_lng = math.radians(lng_deg)
+        if self.is_empty():
+            return float("inf")
+        if self.lng.contains(p_lng):
+            return max(0.0, self.lat.lo - p_lat, p_lat - self.lat.hi)
+        # nearest longitude edge: compare circular distances to lo/hi
+        d_lo = abs(math.remainder(p_lng - self.lng.lo, 2 * math.pi))
+        d_hi = abs(math.remainder(p_lng - self.lng.hi, 2 * math.pi))
+        edge_lng = self.lng.lo if d_lo <= d_hi else self.lng.hi
+        p = latlng_to_point(lat_deg, lng_deg)
+        a = latlng_to_point(math.degrees(self.lat.lo),
+                            math.degrees(edge_lng))
+        b = latlng_to_point(math.degrees(self.lat.hi),
+                            math.degrees(edge_lng))
+        return _point_to_arc_distance(p, a, b)
 
     # --- region interface -------------------------------------------------
 

@@ -59,3 +59,54 @@ def run_stream_to_memory(spark: SparkSession, events_dir: str,
         .outputMode("complete").trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.table(name)
+
+
+STATEFUL_OUT_SCHEMA = ("tile_token string, n_events long, "
+                       "sum_value double, n_batches int")
+STATEFUL_STATE_SCHEMA = "n long, s double, b int"
+
+
+def stateful_tile_totals(events: DataFrame) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (SURVEY §2.10 /
+    applyInPandasWithState): running per-tile event totals whose state
+    persists ACROSS micro-batches — the pattern Spark's built-in
+    windowed aggs can't express when the state transition is
+    arbitrary code. Each update emits the tile's cumulative
+    (n_events, sum_value) plus how many micro-batches touched it
+    (``n_batches`` > 1 proves cross-batch state survival in tests).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    df = geo_events(events)
+
+    def _update(key, pdfs, state: GroupState):
+        n, s, b = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        b += 1
+        state.update((n, s, b))
+        yield pd.DataFrame({"tile_token": [key[0]], "n_events": [n],
+                            "sum_value": [s], "n_batches": [b]})
+
+    return df.groupBy("tile_token").applyInPandasWithState(
+        _update, STATEFUL_OUT_SCHEMA, STATEFUL_STATE_SCHEMA,
+        "update", GroupStateTimeout.NoTimeout)
+
+
+def run_stateful_to_memory(spark: SparkSession, events_dir: str,
+                           name: str = "tile_totals",
+                           max_files_per_trigger: int = 1) -> DataFrame:
+    """drive the stateful operator with one input FILE per
+    micro-batch (forces multi-batch state carry), availableNow until
+    drained; returns the memory sink (update mode — latest row per
+    tile is the running total)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", str(max_files_per_trigger)) \
+        .parquet(events_dir)
+    q = stateful_tile_totals(stream) \
+        .writeStream.format("memory").queryName(name) \
+        .outputMode("update").trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)

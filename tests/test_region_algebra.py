@@ -120,3 +120,38 @@ def test_point_utils():
     c = latlng_to_point(10, 5)
     assert simple_ccw(a, b, c) != simple_ccw(b, a, c)
     assert dot(origin_point(), origin_point()) - 1 < 1e-12
+
+
+def test_rect_get_distance():
+    """LatLngRect.get_distance: 0 inside; matches dense boundary
+    sampling within tolerance outside; latitude-only case exact."""
+    import math
+
+    import numpy as np
+
+    from s2spark.geometry import LatLngRect, latlng_distance
+
+    r = LatLngRect.from_degrees(10.0, 20.0, 30.0, 50.0)
+    assert r.get_distance(15.0, 30.0) == 0.0
+    # point due north of the rect, lng inside: pure lat distance
+    assert abs(r.get_distance(40.0, 30.0) - math.radians(10.0)) < 1e-12
+    assert abs(r.get_distance(-5.0, 30.0) - math.radians(15.0)) < 1e-12
+    # brute-force check against boundary sampling
+    rng = np.random.default_rng(11)
+    edges = []
+    for t in np.linspace(0.0, 1.0, 400):
+        edges.append((10.0 + 20.0 * t, 20.0))
+        edges.append((10.0 + 20.0 * t, 50.0))
+        edges.append((10.0, 20.0 + 30.0 * t))
+        edges.append((30.0, 20.0 + 30.0 * t))
+    for _ in range(60):
+        la = float(rng.uniform(-70, 80))
+        ln = float(rng.uniform(-170, 170))
+        if r.contains_latlng(la, ln):
+            assert r.get_distance(la, ln) == 0.0
+            continue
+        brute = min(latlng_distance(la, ln, ela, eln)
+                    for ela, eln in edges)
+        got = r.get_distance(la, ln)
+        assert got <= brute + 1e-9
+        assert abs(got - brute) < 2e-3  # sampling resolution bound

@@ -37,3 +37,48 @@ def test_stateless_tile_assignment_on_stream(spark, sf_dir, tmp_path):
     n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert len(rows) == n_batch
     assert all(r["tile_token"] for r in rows)
+
+
+def test_stateful_operator_state_survives_micro_batches(spark, sf_dir,
+                                                        tmp_path):
+    """applyInPandasWithState running totals: split the input into 3
+    files, one micro-batch each; the final running total per tile must
+    equal the batch groupBy over ALL files, and tiles seen in several
+    batches must report n_batches > 1 (state actually carried)."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = str(tmp_path / "ev3")
+    os.makedirs(stream_dir)
+    n = src.count()
+    rows = src.collect()
+    third = (n + 2) // 3
+    for k in range(3):
+        part = spark.createDataFrame(rows[k * third:(k + 1) * third],
+                                     schema=src.schema)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{k}"))
+        import glob
+        import shutil as sh
+        f = glob.glob(str(tmp_path / f"stage{k}" / "*.parquet"))[0]
+        sh.copy(f, os.path.join(stream_dir, f"part-{k}.parquet"))
+
+    sink = ST.run_stateful_to_memory(spark, stream_dir, name="tt_test")
+    # update-mode sink: the LAST row per tile is the running total
+    from pyspark.sql import Window
+    w = Window.partitionBy("tile_token").orderBy(
+        F.desc("n_batches"), F.desc("n_events"))
+    final = sink.withColumn("rk", F.row_number().over(w)) \
+        .where(F.col("rk") == 1).drop("rk")
+    got = {r["tile_token"]: (r["n_events"], round(r["sum_value"], 4))
+           for r in final.collect()}
+    exp_df = ST.geo_events(src).groupBy("tile_token") \
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    exp = {r["tile_token"]: (r["n"], round(r["s"], 4))
+           for r in exp_df.collect()}
+    assert set(got) == set(exp)
+    for t in exp:
+        assert got[t][0] == exp[t][0]
+        assert abs(got[t][1] - exp[t][1]) < 1e-6 * max(1.0, abs(exp[t][1]))
+    multi = [r for r in final.collect() if r["n_batches"] > 1]
+    assert multi, "no tile spanned micro-batches — state never carried"
