@@ -469,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": A.lsh_buckets,
         "ann_lsh": A.ann_lsh_topk,
         "embedding_similar_pairs": A.embedding_cosine_dedup,
+        "dedup_components": _q_dedup_components,
+        "ann_ivf_buckets": _q_ann_ivf_buckets,
+        "ann_ivf": _q_ann_ivf,
         # --- image payload pipeline (SURVEY §2.9; rows-only: bytes
         # are engine-generated, codecs not SQL-expressible) ---
         "image_verify": _q_image_verify,
@@ -481,6 +484,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
     }
     return {k: _wrap(v) for k, v in raw.items()}
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup clustering: connected components over the MinHash-LSH
+    pair graph (iterative min-label propagation) — canonical doc per
+    cluster; recursive-CTE oracle."""
+    from s2spark import text as T
+    return T.dedup_components(spark, sf_dir)
+
+
+def _q_ann_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment (the inverted-file partition
+    key) — argmax centroid dot as a pure Column expr."""
+    from s2spark import ann as A
+    return A.ivf_buckets(spark, sf_dir)
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: exact cosine within the query's nprobe
+    nearest inverted-file cells (the brief's IVF scale path)."""
+    from s2spark import ann as A
+    return A.ann_ivf_topk(spark, sf_dir)
 
 
 def _q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,6 +748,9 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "ann_bruteforce": A.ann_bruteforce_sql(),
         "ann_lsh_buckets": A.lsh_buckets_sql(),
         "ann_lsh": A.ann_lsh_sql(),
+        "ann_ivf_buckets": A.ivf_buckets_sql(),
+        "ann_ivf": A.ann_ivf_sql(),
+        "dedup_components": T.dedup_components_sql(),
         "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
         "top_tiles": top_tiles,
         "tile_setops": tile_setops,

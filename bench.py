@@ -34,7 +34,7 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 BENCH_QUERIES = [
     "tile_assign", "pip_broadcast", "pip_bucketed", "pip_salted",
-    "region_stats", "knn",
+    "pip_planned", "pip_polygon", "region_stats", "knn",
     "raster_vector", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "ann_bruteforce", "simhash", "quality_score", "image_verify",
     "pricing_summary",

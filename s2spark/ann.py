@@ -195,6 +195,145 @@ EMB_DEDUP_SALT_TARGET = 100_000   # rows per (bucket, salt) slice
 EMB_DEDUP_MAX_SALT = 16
 
 
+N_IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def ivf_centroids() -> list[list[float]]:
+    """deterministic unit-norm coarse-quantizer centroids (LCG +
+    normalize in Python; the floats are inlined verbatim into both
+    engines — no training step, which keeps the op reproducible)."""
+    import math
+    out = []
+    state = 987654321
+    for _ in range(N_IVF_CELLS):
+        row = []
+        for _ in range(DIM):
+            state = (_LCG_A * state + _LCG_C) % _LCG_M
+            row.append(state / _LCG_M - 0.5)
+        norm = math.sqrt(sum(x * x for x in row))
+        out.append([x / norm for x in row])
+    return out
+
+
+def _ivf_dot_structs():
+    """array<struct<d,nc>> of (centroid·v, -cell_index): the 16×64
+    centroid matrix rides as ONE array literal and the dots come from
+    higher-order transform/zip_with/aggregate — 1024 inline scalar
+    terms would blow whole-stage codegen's 64 KB method limit (Spark
+    silently falls back to interpreted mode). Left-fold index-order
+    sum of w·cast(e) keeps float bits identical to the oracle SQL."""
+    cents = F.lit(ivf_centroids())
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(c, F.col("embedding"),
+                           lambda x, y: x * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            (-i).alias("nc")))
+
+
+def _ivf_cell_col():
+    """argmax_c centroid_c · v (lowest-index dot ties via the negated
+    index): array_max over the dot structs."""
+    return (-F.array_max(_ivf_dot_structs())["nc"]).cast("int")
+
+
+def _ivf_cell_sql() -> str:
+    """DuckDB twin: list_max over {'d':…,'nc':…} structs — struct
+    comparison is lexicographic in both engines (DuckDB's scalar
+    greatest() rejects structs; list_max accepts them)."""
+    cents = ivf_centroids()
+    args = []
+    for ci, c in enumerate(cents):
+        dot = " + ".join(f"({w!r}) * CAST(embedding[{i + 1}] AS DOUBLE)"
+                         for i, w in enumerate(c))
+        args.append(f"{{'d': ({dot}), 'nc': {-ci}}}")
+    return f"CAST(-(list_max([{', '.join(args)}]).nc) AS INT)"
+
+
+def ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse assignment: (vec_id, ivf_cell) — the inverted-file
+    partition key (the brief's 'IVF variant as the scale path': cell
+    assignment is a projection, candidate search a cell equi-join)."""
+    return _emb(spark, sf_dir).select(
+        "vec_id", _ivf_cell_col().alias("ivf_cell"))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                 k: int = TOP_K, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """approximate top-k: exact cosine ranking restricted to the
+    query's ``nprobe`` nearest IVF cells — deterministic, the oracle
+    replicates the same probe rule. Candidate fetch is a cell
+    equi-join with the small query side broadcast."""
+    emb = _emb(spark, sf_dir)
+    b = ivf_buckets(spark, sf_dir)
+    embb = emb.join(b, "vec_id")
+    # per-query probe cells: rank centroid dots, take nprobe best —
+    # nc is the NEGATED index so reverse(array_sort) breaks dot ties
+    # by ASCENDING cell index, matching the oracle's ORDER BY d DESC, c
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    probes = F.slice(F.reverse(F.array_sort(_ivf_dot_structs())),
+                     1, nprobe)
+    q = q.select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.explode(probes).alias("p")) \
+        .select("query_id", "qv", (-F.col("p.nc")).alias("probe"))
+    d = embb.join(F.broadcast(q),
+                  (F.col("ivf_cell") == F.col("probe"))
+                  & (F.col("vec_id") != F.col("query_id")))
+    dot = _dot(F.col("qv"), F.col("embedding"))
+    na = _dot(F.col("qv"), F.col("qv"))
+    nb = _dot(F.col("embedding"), F.col("embedding"))
+    d = d.withColumn("cosine", dot / (F.sqrt(na) * F.sqrt(nb)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return d.withColumn("rnk", F.row_number().over(w)) \
+        .where(F.col("rnk") <= k) \
+        .select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
+
+
+def ivf_buckets_sql() -> str:
+    return f"SELECT vec_id, {_ivf_cell_sql()} AS ivf_cell FROM embeddings"
+
+
+def ann_ivf_sql(k: int = TOP_K, nprobe: int = IVF_NPROBE) -> str:
+    cents = ivf_centroids()
+    dots = []
+    for ci, c in enumerate(cents):
+        d = " + ".join(f"({w!r}) * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+                       for i, w in enumerate(c))
+        dots.append(f"SELECT e.vec_id AS query_id, {ci} AS c, ({d}) AS d "
+                    f"FROM embeddings e WHERE e.vec_id < {N_QUERIES}")
+    dot = _dot_ab_sql("q.embedding", "e.embedding")
+    na = _dot_self_sql("q.embedding")
+    nb = _dot_self_sql("e.embedding")
+    return f"""
+WITH b AS ({ivf_buckets_sql()}),
+cd AS ({' UNION ALL '.join(dots)}),
+pr AS (
+  SELECT query_id, c AS probe
+  FROM (SELECT query_id, c,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d DESC, c) AS rk
+        FROM cd)
+  WHERE rk <= {nprobe}),
+d AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         ({dot}) / (sqrt({na}) * sqrt({nb})) AS cosine
+  FROM embeddings q
+  JOIN pr ON pr.query_id = q.vec_id
+  JOIN b ON b.ivf_cell = pr.probe
+  JOIN embeddings e ON e.vec_id = b.vec_id AND e.vec_id != q.vec_id),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM d)
+SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {k}
+"""
+
+
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str,
                            tau: float = 0.2) -> DataFrame:
     """embedding near-dup pairs: cosine >= tau within LSH probe

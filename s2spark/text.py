@@ -394,6 +394,60 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str,
+                     max_iters: int = 50) -> DataFrame:
+    """canonical-document assignment: connected components over the
+    MinHash-LSH candidate-pair graph via iterative min-label
+    propagation — each doc gets the smallest doc_id reachable through
+    near-dup pairs (the dedup step AFTER pair generation: keep rows
+    where doc_id == canonical_id). Output (doc_id, canonical_id).
+
+    Scale shape: each round is one edges⋈labels hash join + groupBy
+    min (shuffles on doc_id); labels pass transitively through
+    already-lowered neighbors, so rounds ≈ cluster diameter (small
+    for near-dup clusters), with localCheckpoint truncating lineage.
+    The driver only checks a scalar convergence flag per round.
+    Oracle: DuckDB recursive-CTE transitive closure (same pairs).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id").distinct()
+    e = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    edges = e.unionAll(e.select(F.col("b").alias("a"),
+                                F.col("a").alias("b"))).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")) \
+        .localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = edges.join(labels, edges["b"] == labels["doc_id"]) \
+            .groupBy(F.col("a").alias("doc_id")) \
+            .agg(F.min("label").alias("nbr_label"))
+        new_labels = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("nbr_label", "label"))
+            .alias("label")).localCheckpoint()
+        changed = new_labels.alias("n") \
+            .join(labels.alias("o"), "doc_id") \
+            .where(F.col("n.label") != F.col("o.label")).isEmpty()
+        labels = new_labels
+        if changed:  # isEmpty() True == nothing changed
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+def dedup_components_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS MATERIALIZED ({minhash_lsh_sql().strip()}),
+edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM p
+                       UNION SELECT d2, d1 FROM p),
+docs AS MATERIALIZED (SELECT DISTINCT doc_id FROM documents),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+"""
+
+
 SIMHASH_HAMMING_MAX = 3
 
 
