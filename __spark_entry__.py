@@ -132,6 +132,7 @@ def _q_cell_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         CC.token("cell_id").alias("token"),
         CC.sortable("cell_id").alias("sortable"),
         CC.face("cell_id").alias("face"),
+        CC.pos("cell_id").alias("pos"),
         CC.next_cell("cell_id").alias("next_c"),
         CC.prev_cell("cell_id").alias("prev_c"),
         CC.next_wrap("cell_id").alias("next_w"),
@@ -547,6 +548,7 @@ SELECT point_id, {s} AS cell_id,
        {synth.token_sql(s)} AS token,
        {synth.sortable_sql(s)} AS sortable,
        CAST(({s} >> 61) & 7 AS INT) AS face,
+       ({s}) & {(1 << 61) - 1} AS pos,
        {synth.next_sql(s)} AS next_c,
        {synth.prev_sql(s)} AS prev_c,
        {synth.next_wrap_sql(s)} AS next_w,

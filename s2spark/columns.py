@@ -94,6 +94,11 @@ def face(cell_id: Column | str) -> Column:
     return F.shiftrightunsigned(_c(cell_id), 61).cast("int")
 
 
+def pos(cell_id: Column | str) -> Column:
+    """``CellId.pos``: the 61 position bits (face stripped)."""
+    return _c(cell_id).bitwiseAND(F.lit((1 << 61) - 1))
+
+
 def is_leaf(cell_id: Column | str) -> Column:
     """``CellId.is_leaf``: trailing bit set."""
     return _c(cell_id).bitwiseAND(F.lit(1)) == F.lit(1)

@@ -20,16 +20,16 @@ EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                  "event_type string, value double, props string")
 
 
-def geo_events(events: DataFrame) -> DataFrame:
+def geo_events(events: DataFrame, level: int = 8) -> DataFrame:
     """derive deterministic lat/lng for the demo (events carry no geo)
     and assign tiles — identical expression tree works for batch and
     stream (the point of the demo)."""
-    lat = (F.col("user_id") % F.lit(170) - F.lit(85)
-           + F.col("value") / F.lit(1000.0))
+    lat = ((F.col("event_id") * F.lit(7) + F.col("user_id")) % F.lit(170)
+           - F.lit(85) + F.col("value") / F.lit(1000.0))
     lng = (F.col("event_id") % F.lit(360) - F.lit(180))
     df = events.withColumn("lat", lat).withColumn("lng", lng.cast("double"))
     df = df.withColumn("cell_id", s2_cell_id("lat", "lng"))
-    return df.withColumn("tile_id", CC.parent("cell_id", 8)) \
+    return df.withColumn("tile_id", CC.parent("cell_id", level)) \
         .withColumn("tile_token", CC.token("tile_id"))
 
 
@@ -61,12 +61,34 @@ def run_stream_to_memory(spark: SparkSession, events_dir: str,
     return spark.table(name)
 
 
+def streaming_pip_counts(events: DataFrame, covering_rows: list,
+                         params_by_region: dict) -> DataFrame:
+    """STREAM-STATIC spatial join: streaming points against the static
+    covering table (broadcast bucketed PIP — the same plan as batch,
+    which is the point: encode UDF + bucket bit math + broadcast hash
+    join all run unchanged per micro-batch). Output: per-region event
+    counts. Works on batch DataFrames too (the stream≡batch test)."""
+    from s2spark import joins as J
+
+    df = geo_events(events)
+    cov_df = J.coverings_df(df.sparkSession, covering_rows,
+                            bucket_level=8)
+    matched = J.pip_join_bucketed(
+        df.select(F.col("event_id").alias("point_id"), "lat", "lng",
+                  "value"),
+        cov_df, params_by_region, bucket_level=8,
+        extra_cols=("value",))
+    return matched.groupBy("region_id") \
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+
+
 STATEFUL_OUT_SCHEMA = ("tile_token string, n_events long, "
                        "sum_value double, n_batches int")
 STATEFUL_STATE_SCHEMA = "n long, s double, b int"
 
 
-def stateful_tile_totals(events: DataFrame) -> DataFrame:
+def stateful_tile_totals(events: DataFrame, level: int = 2) -> DataFrame:
     """CUSTOM STATEFUL streaming operator (SURVEY §2.10 /
     applyInPandasWithState): running per-tile event totals whose state
     persists ACROSS micro-batches — the pattern Spark's built-in
@@ -78,7 +100,7 @@ def stateful_tile_totals(events: DataFrame) -> DataFrame:
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    df = geo_events(events)
+    df = geo_events(events, level=level)
 
     def _update(key, pdfs, state: GroupState):
         n, s, b = state.get if state.exists else (0, 0.0, 0)

@@ -72,7 +72,7 @@ def test_stateful_operator_state_survives_micro_batches(spark, sf_dir,
         .where(F.col("rk") == 1).drop("rk")
     got = {r["tile_token"]: (r["n_events"], round(r["sum_value"], 4))
            for r in final.collect()}
-    exp_df = ST.geo_events(src).groupBy("tile_token") \
+    exp_df = ST.geo_events(src, level=2).groupBy("tile_token") \
         .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
     exp = {r["tile_token"]: (r["n"], round(r["s"], 4))
            for r in exp_df.collect()}
@@ -82,3 +82,32 @@ def test_stateful_operator_state_survives_micro_batches(spark, sf_dir,
         assert abs(got[t][1] - exp[t][1]) < 1e-6 * max(1.0, abs(exp[t][1]))
     multi = [r for r in final.collect() if r["n_batches"] > 1]
     assert multi, "no tile spanned micro-batches — state never carried"
+
+
+def test_stream_static_pip_join(spark, sf_dir, tmp_path):
+    """stream-static spatial join: streaming points x static covering
+    table — per-region counts from the stream must equal the batch
+    run of the SAME pipeline (encode UDF + bucket bit math + broadcast
+    hash join run unchanged per micro-batch)."""
+    from s2spark import fixtures as FX
+    from s2spark import joins as J
+
+    cov_rows = J.compute_coverings(FX.region_objects())
+    params = FX.region_params()
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = str(tmp_path / "ev4")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
+
+    batch = ST.streaming_pip_counts(spark.read.parquet(src),
+                                    cov_rows, params)
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert expected, "fixture regions must catch some events"
+
+    stream = ST.read_events_stream(spark, stream_dir)
+    q = ST.streaming_pip_counts(stream, cov_rows, params) \
+        .writeStream.format("memory").queryName("pip_stream_test") \
+        .outputMode("complete").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("pip_stream_test").collect())
+    assert got == expected
