@@ -191,3 +191,41 @@ def test_wrap_traversal_columns(spark):
         assert r["cp"] == (u(cid) >> (2 * (30 - lvl) + 1)) & 3
         # wrap round-trips
         assert py_prev_wrap(r["nw"]) == cid
+
+
+def test_wrap_traversal_random_batch(spark):
+    """5000 random valid ids at random levels: Column wrap ops equal
+    the uint64 reference model in one vectorized pass."""
+    M64 = (1 << 64) - 1
+    rng = np.random.default_rng(23)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    lng = rng.uniform(-180, 180, 5000)
+    leaves = H.lat_lng_to_cell_id(lat, lng)
+    lvls = rng.integers(1, 31, 5000)
+    ids = np.empty(5000, dtype=np.uint64)
+    for lvl in np.unique(lvls):
+        m = lvls == lvl
+        ids[m] = C.parent(leaves[m], int(lvl))
+    ids_i64 = ids.view(np.int64)
+
+    def u(x):
+        return int(x) & M64
+
+    def i64(x):
+        x &= M64
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    WRAP = 6 << 61
+
+    df = spark.createDataFrame([(int(i),) for i in ids_i64],
+                               "cell_id long")
+    out = df.select("cell_id",
+                    CC.next_wrap("cell_id").alias("nw"),
+                    CC.prev_wrap("cell_id").alias("pw")).collect()
+    for r in out:
+        cu = u(r["cell_id"])
+        l = cu & (-cu & M64)
+        n = (cu + 2 * l) & M64
+        p = (cu - 2 * l) & M64
+        assert r["nw"] == i64(n - WRAP if n >= WRAP else n)
+        assert r["pw"] == i64(p + WRAP if p >= WRAP else p)
