@@ -128,6 +128,25 @@ def read_checkpointed(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
+def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
+                         n_buckets: int = 16,
+                         sort_col: str | None = None) -> None:
+    """persist a DataFrame as a Hive-bucketed table on ``bucket_col``
+    (SURVEY §4.3 storage partitioning): two tables bucketed the same
+    way equi-join WITHOUT a shuffle — at 100 TB, pre-bucketing the
+    point table on its tile key amortizes the shuffle across every
+    downstream join/aggregate (plan-asserted in tests)."""
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
 def result_fingerprint(df: DataFrame) -> int:
     """order-insensitive content hash of a DataFrame (resume tests:
     interrupted+resumed output must fingerprint-equal a clean run)."""

@@ -95,3 +95,37 @@ def test_hilbert_clustered_files(spark, sf_dir, tmp_path):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo  # disjoint sortable ranges
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """SURVEY §4.3: two tables bucketed on the same tile key must
+    hash-join with ZERO Exchange (the pre-bucketed co-located join —
+    at 100 TB the shuffle is paid once at write time, not per query).
+    The bucketed join result equals the plain shuffle join."""
+    import pyspark.sql.functions as F
+
+    from s2spark import columns as CC
+    from s2spark import io as SIO
+    from s2spark import synth
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(F.col("l_orderkey").alias("k"),
+                     synth.synth_cell_col().alias("cell_id")) \
+        .withColumn("tile", CC.parent("cell_id", 8))
+    left = base.groupBy("tile").agg(F.count("*").alias("n_left"))
+    right = base.where(F.col("k") % 2 == 0).groupBy("tile") \
+        .agg(F.count("*").alias("n_right"))
+    SIO.write_bucketed_table(left, "t_left", "tile", n_buckets=8)
+    SIO.write_bucketed_table(right, "t_right", "tile", n_buckets=8)
+    try:
+        j = SIO.read_table(spark, "t_left").join(
+            SIO.read_table(spark, "t_right"), "tile")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        expected = sorted(map(tuple, left.join(right, "tile").collect()))
+        assert sorted(map(tuple, j.collect())) == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
