@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": A.ann_lsh_topk,
         "embedding_similar_pairs": A.embedding_cosine_dedup,
         "dedup_components": _q_dedup_components,
+        "stratified_sample": _q_stratified_sample,
         "ann_ivf_buckets": _q_ann_ivf_buckets,
         "ann_ivf": _q_ann_ivf,
         # --- image payload pipeline (SURVEY §2.9; rows-only: bytes
@@ -493,6 +494,14 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster; recursive-CTE oracle."""
     from s2spark import text as T
     return T.dedup_components(spark, sf_dir)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic per-language stratified sampling (curation:
+    rebalance strata without randomness) — cross-engine md5 hash
+    predicate, exact oracle."""
+    from s2spark import text as T
+    return T.stratified_sample(spark, sf_dir)
 
 
 def _q_ann_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,6 +762,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "ann_ivf_buckets": A.ivf_buckets_sql(),
         "ann_ivf": A.ann_ivf_sql(),
         "dedup_components": T.dedup_components_sql(),
+        "stratified_sample": T.stratified_sample_sql(),
         "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
         "top_tiles": top_tiles,
         "tile_setops": tile_setops,

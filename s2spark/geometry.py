@@ -771,6 +771,13 @@ class Cap:
         d = (self.axis[0] - p[0], self.axis[1] - p[1], self.axis[2] - p[2])
         return Cap(self.axis, max(self.height, 0.5 * dot(d, d)))
 
+    def get_distance(self, p) -> float:
+        """angle (radians) from unit point ``p`` to the cap, 0 inside
+        (``Cap.get_distance``): axis angle minus the cap angle."""
+        if self.is_empty():
+            return float("inf")
+        return max(0.0, angle_between(self.axis, p) - self.angle())
+
     def contains_point(self, p) -> bool:
         d = (self.axis[0] - p[0], self.axis[1] - p[1], self.axis[2] - p[2])
         return dot(d, d) <= 2 * self.height

@@ -394,6 +394,37 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """
 
 
+# per-language keep percentages (training-data curation: downsample
+# overrepresented strata) — constants shared with the oracle SQL
+SAMPLE_PCT = {"en": 20, "de": 50, "es": 50, "fr": 60, "zh": 80}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic per-stratum sampling: keep a doc iff
+    ``md5_int64(str(doc_id)) % 100 < pct[pred_lang]`` — rebalances
+    language strata without randomness (reproducible across engines
+    AND across reruns, unlike ``sampleBy``). Scales as a pure filter
+    on top of the lang-ID projection: no shuffle, no state."""
+    li = lang_id(spark, sf_dir)
+    h = F.pmod(md5_int64(F.col("doc_id").cast("string")), F.lit(100))
+    pct = F.create_map(*[x for lang, p in sorted(SAMPLE_PCT.items())
+                         for x in (F.lit(lang), F.lit(p))])
+    return li.where(h < pct[F.col("pred_lang")]) \
+        .select("doc_id", "pred_lang")
+
+
+def stratified_sample_sql() -> str:
+    h = MD5_INT64_SQL.format(col="CAST(doc_id AS VARCHAR)")
+    pct = "CASE " + " ".join(
+        f"WHEN pred_lang = '{lang}' THEN {p}"
+        for lang, p in sorted(SAMPLE_PCT.items())) + " END"
+    return f"""
+WITH li AS ({lang_id_sql().strip()})
+SELECT doc_id, pred_lang FROM li
+WHERE ({h}) % 100 < ({pct})
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str,
                      max_iters: int = 50) -> DataFrame:
     """canonical-document assignment: connected components over the

@@ -155,3 +155,18 @@ def test_rect_get_distance():
         got = r.get_distance(la, ln)
         assert got <= brute + 1e-9
         assert abs(got - brute) < 2e-3  # sampling resolution bound
+
+
+def test_cap_get_distance():
+    import math
+
+    from s2spark.geometry import Cap, latlng_to_point
+
+    cap = Cap.from_lat_lng_radius(40.0, 10.0, 0.1)
+    assert cap.get_distance(latlng_to_point(40.0, 10.0)) == 0.0
+    assert cap.get_distance(latlng_to_point(40.5, 10.0)) == 0.0  # inside
+    # ~20 degrees north of the rim: distance = angle - radius
+    p = latlng_to_point(60.0, 10.0)
+    want = math.radians(20.0) - 0.1
+    assert abs(cap.get_distance(p) - want) < 1e-9
+    assert Cap.empty().get_distance(p) == float("inf")
