@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_similar_pairs": A.embedding_cosine_dedup,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
+        "pii_scan": _q_pii_scan,
         "ann_ivf_buckets": _q_ann_ivf_buckets,
         "ann_ivf": _q_ann_ivf,
         # --- image payload pipeline (SURVEY §2.9; rows-only: bytes
@@ -502,6 +503,13 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate, exact oracle."""
     from s2spark import text as T
     return T.stratified_sample(spark, sf_dir)
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise gate: email/URL/phone match counts + keep verdict —
+    pure regexp projection, exact oracle."""
+    from s2spark import text as T
+    return T.pii_scan(spark, sf_dir)
 
 
 def _q_ann_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,6 +771,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "ann_ivf": A.ann_ivf_sql(),
         "dedup_components": T.dedup_components_sql(),
         "stratified_sample": T.stratified_sample_sql(),
+        "pii_scan": T.pii_scan_sql(),
         "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
         "top_tiles": top_tiles,
         "tile_setops": tile_setops,

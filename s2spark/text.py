@@ -394,6 +394,47 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """
 
 
+# PII scan patterns — simple character-class regexes chosen to parse
+# identically under Java regex (Spark) and RE2-ish (DuckDB)
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"[0-9]{3}[\-. ][0-9]{3}[\-. ][0-9]{4}"
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training-data PII/noise gate: per-doc counts of email / URL /
+    phone-shaped matches + the keep verdict (no matches). Pure JVM
+    ``regexp_extract_all`` — scales as a projection."""
+    d = _docs(spark, sf_dir)
+
+    def cnt(pat: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)) \
+            .cast("long")
+
+    d = d.select("doc_id",
+                 cnt(PII_EMAIL).alias("n_emails"),
+                 cnt(PII_URL).alias("n_urls"),
+                 cnt(PII_PHONE).alias("n_phones"))
+    keep = (F.col("n_emails") + F.col("n_urls") + F.col("n_phones")
+            == F.lit(0))
+    return d.withColumn("keep", keep)
+
+
+def pii_scan_sql() -> str:
+    def cnt(pat: str) -> str:
+        esc = pat.replace("'", "''")
+        return f"CAST(len(regexp_extract_all(text, '{esc}')) AS BIGINT)"
+
+    return f"""
+SELECT doc_id,
+       {cnt(PII_EMAIL)} AS n_emails,
+       {cnt(PII_URL)} AS n_urls,
+       {cnt(PII_PHONE)} AS n_phones,
+       ({cnt(PII_EMAIL)} + {cnt(PII_URL)} + {cnt(PII_PHONE)}) = 0 AS keep
+FROM documents
+"""
+
+
 # per-language keep percentages (training-data curation: downsample
 # overrepresented strata) — constants shared with the oracle SQL
 SAMPLE_PCT = {"en": 20, "de": 50, "es": 50, "fr": 60, "zh": 80}
