@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are engine-generated, codecs not SQL-expressible) ---
         "image_verify": _q_image_verify,
         "image_tile_stats": _q_image_tile_stats,
+        "image_resize": _q_image_resize,
         # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
         "top_tiles": _q_top_tiles,
         "tile_setops": _q_tile_setops,
@@ -537,6 +538,15 @@ def _q_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geo-tiled image stats: encode + parent tile + per-tile aggregates."""
     from s2spark import images as IM
     return IM.image_tile_stats(IM.synth_images(spark, 500), level=6)
+
+
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distributed resize (decode -> NN resample -> re-encode +
+    phash recompute). Rows-only (binary payloads); pixel exactness is
+    pinned by tests/test_images.py."""
+    from s2spark import images as IM
+    out = IM.resize_images(IM.synth_images(spark, 500), 16, 16)
+    return out.select("image_id", "w", "h", "fmt", "phash", "caption")
 
 
 # ---------------------------------------------------------------------------

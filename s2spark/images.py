@@ -275,6 +275,45 @@ def verify_images(images: DataFrame) -> DataFrame:
     return images.mapInPandas(_verify, VERIFY_SCHEMA)
 
 
+def resize_nn(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """nearest-neighbor resample HxWx3 -> out_h x out_w x 3 (pure
+    numpy index gather — the resize kernel real codec pipelines wrap;
+    center-of-pixel sampling, matching the common NN convention)."""
+    h, w, _ = arr.shape
+    yi = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1) \
+        .astype(np.int64)
+    xi = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1) \
+        .astype(np.int64)
+    return arr[yi][:, xi]
+
+
+RESIZED_SCHEMA = ("image_id string, bytes binary, w int, h int, "
+                  "fmt string, caption string, phash long")
+
+
+def resize_images(images: DataFrame, out_w: int,
+                  out_h: int) -> DataFrame:
+    """distributed image resize (BASELINE.json multimodal op): decode
+    -> nearest-neighbor resample -> re-encode raw + recompute phash,
+    caption rides through. Iterator mapInPandas, numpy per image —
+    the Spark plumbing (schema, batching, binary columns) is the real
+    thing; swap the kernel for a codec library on a real cluster."""
+
+    def _resize(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr = decode(row.bytes, row.fmt, row.w, row.h)
+                rs = resize_nn(arr, out_w, out_h)
+                out.append((row.image_id, raw_encode(rs), out_w, out_h,
+                            "raw", row.caption, phash64(rs)))
+            yield pd.DataFrame(out, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption",
+                "phash"])
+
+    return images.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def image_tile_stats(images: DataFrame, level: int = 8) -> DataFrame:
     """per-tile image statistics: encode geo -> tile (Column expr) ->
     per-tile counts + phash diversity (approx distinct)."""

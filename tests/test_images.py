@@ -92,3 +92,38 @@ def test_bytes_pruned_when_not_needed(spark):
     df = spark.read.parquet(path).groupBy("fmt").count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bytes" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_resize_nn_kernel():
+    """exact NN semantics: identity at same size; 2x downscale picks
+    the center-of-pixel source; upscale repeats pixels."""
+    a = IM._pixels_for(9, 16, 8)
+    assert (IM.resize_nn(a, 16, 8) == a).all()
+    down = IM.resize_nn(a, 8, 4)
+    assert down.shape == (4, 8, 3)
+    # center-of-pixel: output (y,x) reads source (2y+1, 2x+1)
+    assert (down == a[1::2, 1::2]).all()
+    up = IM.resize_nn(a, 32, 16)
+    assert up.shape == (16, 32, 3)
+    assert (up[::2, ::2] == a).all() and (up[1::2, 1::2] == a).all()
+
+
+def test_resize_images_pipeline(spark):
+    """distributed resize: every output is out_w x out_h raw whose
+    pixels equal the kernel applied to the reference image; captions
+    and phash recompute ride through."""
+    imgs = IM.synth_images(spark, 60)
+    out = IM.resize_images(imgs, 16, 16).collect()
+    assert len(out) == 60
+    for r in out:
+        assert (r["w"], r["h"], r["fmt"]) == (16, 16, "raw")
+        arr = IM.raw_decode(r["bytes"], 16, 16)
+        idx = int(r["image_id"][3:])
+        src_w = (8, 16, 32)[idx % 3]
+        src_h = (8, 16, 32)[(idx // 3) % 3]
+        ref = IM._pixels_for(idx, src_w, src_h)
+        if idx % 3 == 2:  # qzl source is lossy -> compare to quantized
+            ref = IM.qzl_decode(IM.qzl_encode(ref), src_w, src_h)
+        assert (arr == IM.resize_nn(ref, 16, 16)).all()
+        assert r["phash"] == IM.phash64(arr)
+        assert r["caption"].startswith(f"caption {idx} ")
