@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
         "pii_scan": _q_pii_scan,
+        "corpus_curation": _q_corpus_curation,
         "ann_ivf_buckets": _q_ann_ivf_buckets,
         "ann_ivf": _q_ann_ivf,
         # --- image payload pipeline (SURVEY §2.9; rows-only: bytes
@@ -511,6 +512,15 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure regexp projection, exact oracle."""
     from s2spark import text as T
     return T.pii_scan(spark, sf_dir)
+
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """end-to-end curation pipeline: PII gate -> stratified sample ->
+    near-dup canonicalization -> per-language corpus stats; every
+    stage is an oracled operator so the composition has an exact SQL
+    twin."""
+    from s2spark import text as T
+    return T.corpus_curation(spark, sf_dir)
 
 
 def _q_ann_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,6 +792,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "dedup_components": T.dedup_components_sql(),
         "stratified_sample": T.stratified_sample_sql(),
         "pii_scan": T.pii_scan_sql(),
+        "corpus_curation": T.corpus_curation_sql(),
         "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
         "top_tiles": top_tiles,
         "tile_setops": tile_setops,

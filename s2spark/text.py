@@ -520,6 +520,49 @@ SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
 """
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composition a training-data
+    team actually runs, as one DataFrame program:
+
+        PII gate → deterministic per-language stratified sample →
+        near-dup canonicalization (keep cluster representatives) →
+        per-language corpus stats.
+
+    Every stage is the already-oracled operator, so the whole pipeline
+    has an exact SQL twin. Scale shape: two projections (pii, lang),
+    one hash-filter, the LSH component join, then a partial/final agg.
+    Output: (pred_lang, n_docs, ws_tokens).
+    """
+    keep_pii = pii_scan(spark, sf_dir).where(F.col("keep")) \
+        .select("doc_id")
+    sampled = stratified_sample(spark, sf_dir)
+    canon = dedup_components(spark, sf_dir) \
+        .where(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    toks = token_count(spark, sf_dir).select("doc_id", "ws_tokens")
+    kept = sampled.join(keep_pii, "doc_id").join(canon, "doc_id") \
+        .join(toks, "doc_id")
+    return kept.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("ws_tokens"))
+
+
+def corpus_curation_sql() -> str:
+    return f"""
+WITH RECURSIVE comp AS MATERIALIZED ({dedup_components_sql().strip()}),
+pii AS ({pii_scan_sql().strip()}),
+samp AS ({stratified_sample_sql().strip()}),
+toks AS ({TOKEN_COUNT_SQL.strip()})
+SELECT samp.pred_lang, count(*) AS n_docs,
+       sum(toks.ws_tokens) AS ws_tokens
+FROM samp
+JOIN pii ON pii.doc_id = samp.doc_id AND pii.keep
+JOIN comp ON comp.doc_id = samp.doc_id
+         AND comp.doc_id = comp.canonical_id
+JOIN toks ON toks.doc_id = samp.doc_id
+GROUP BY samp.pred_lang
+"""
+
+
 SIMHASH_HAMMING_MAX = 3
 
 
