@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": _q_image_verify,
         "image_tile_stats": _q_image_tile_stats,
         "image_resize": _q_image_resize,
+        "image_tile_stats_exact": _q_image_tile_stats_exact,
         # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
         "top_tiles": _q_top_tiles,
         "tile_setops": _q_tile_setops,
@@ -548,6 +549,20 @@ def _q_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geo-tiled image stats: encode + parent tile + per-tile aggregates."""
     from s2spark import images as IM
     return IM.image_tile_stats(IM.synth_images(spark, 500), level=6)
+
+
+def _q_image_tile_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image-table tiling with EXACT per-tile phash diversity — full
+    value-hash oracle via the frozen geo_images fixture (generator +
+    encode kernel + phash DCT all gated); the approx_count_distinct
+    variant (image_tile_stats) stays the scale path."""
+    from s2spark import images as IM
+    from s2spark.joins import with_cell_id
+    df = with_cell_id(IM.synth_images(spark, 500))
+    return df.withColumn("tile_id", CC.parent("cell_id", 6)) \
+        .groupBy(CC.token("tile_id").alias("tile_token")) \
+        .agg(F.count("*").alias("n_images"),
+             F.count_distinct("phash").alias("phash_distinct"))
 
 
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,6 +712,16 @@ SELECT {synth.token_sql(synth.parent_sql('leaf_cell_id', 12))}
        count(*) AS n_points
 FROM j GROUP BY 1
 """
+    golden_imgs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden", "geo_images.parquet")
+    image_tile_stats_exact = f"""
+WITH g AS (SELECT * FROM read_parquet('{golden_imgs}'))
+SELECT {synth.token_sql(synth.parent_sql('leaf_cell_id', 6))}
+           AS tile_token,
+       count(*) AS n_images,
+       count(DISTINCT phash) AS phash_distinct
+FROM g GROUP BY 1
+"""
     golden_nbrs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "golden", "synth_neighbors.parquet")
     nbr_cols = ", ".join(f"g.n{k}" for k in range(8))
@@ -775,6 +800,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "tile_assign": tile_assign,
         "raster_vector": raster_vector,
         "neighbors": neighbors,
+        "image_tile_stats_exact": image_tile_stats_exact,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": T.minhash_lsh_sql(),
