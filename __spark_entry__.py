@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_stats": _q_image_tile_stats,
         "image_resize": _q_image_resize,
         "image_tile_stats_exact": _q_image_tile_stats_exact,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
         "top_tiles": _q_top_tiles,
         "tile_setops": _q_tile_setops,
@@ -563,6 +565,22 @@ def _q_image_tile_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(CC.token("tile_id").alias("tile_token")) \
         .agg(F.count("*").alias("n_images"),
              F.count_distinct("phash").alias("phash_distinct"))
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio feature extraction over binary pcm16 clips: windowed
+    energy + rFFT dominant frequency / spectral centroid (real numpy
+    DSP). Rows-only (binary payloads); the dominant-frequency
+    recovery is pinned by tests/test_multimodal.py."""
+    from s2spark import multimodal as MM
+    return MM.audio_features(MM.synth_audio(spark, 300))
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """video frame sampling over raw-frame binary payloads (every 5th
+    frame -> per-frame stats). Rows-only."""
+    from s2spark import multimodal as MM
+    return MM.sample_frames(MM.synth_video(spark, 200))
 
 
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

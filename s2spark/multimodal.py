@@ -24,7 +24,8 @@ VIDEO_SCHEMA = ("video_id string, bytes binary, w int, h int, fps double, "
 
 AUDIO_FEATURES_SCHEMA = ("audio_id string, caption string, duration_sec "
                          "double, n_windows int, energy_mean double, "
-                         "energy_std double")
+                         "energy_std double, dominant_hz double, "
+                         "spectral_centroid_hz double")
 
 VIDEO_FRAMES_SCHEMA = ("video_id string, frame_idx long, ts_sec double, "
                        "mean_px double")
@@ -67,8 +68,11 @@ def synth_audio(spark: SparkSession, n: int,
 
 def audio_features(audio: DataFrame,
                    window_samples: int = 400) -> DataFrame:
-    """windowed energy features (decode → frame → reduce): the
-    feature-extraction op shape; numpy per batch, decode per row."""
+    """windowed energy + REAL spectral features (decode → frame →
+    reduce → rFFT): dominant frequency (argmax magnitude bin) and
+    spectral centroid — numpy DSP, no stub. Tests pin the dominant
+    frequency of the synthetic sine clips to their generation
+    frequency (within one FFT bin)."""
 
     def _feat(batches):
         for pdf in batches:
@@ -79,12 +83,21 @@ def audio_features(audio: DataFrame,
                 w = sig[:n_win * window_samples] \
                     .reshape(n_win, window_samples)
                 energy = (w * w).mean(axis=1)
+                spec = np.abs(np.fft.rfft(sig))
+                freqs = np.fft.rfftfreq(len(sig), d=1.0 / row.sample_rate)
+                spec[0] = 0.0  # ignore DC
+                dom = float(freqs[int(np.argmax(spec))])
+                denom = float(spec.sum())
+                centroid = float((freqs * spec).sum() / denom) \
+                    if denom > 0 else 0.0
                 out.append((row.audio_id, row.caption,
                             row.n_samples / row.sample_rate, n_win,
-                            float(energy.mean()), float(energy.std())))
+                            float(energy.mean()), float(energy.std()),
+                            dom, centroid))
             yield pd.DataFrame(out, columns=[
                 "audio_id", "caption", "duration_sec", "n_windows",
-                "energy_mean", "energy_std"])
+                "energy_mean", "energy_std", "dominant_hz",
+                "spectral_centroid_hz"])
 
     return audio.mapInPandas(_feat, AUDIO_FEATURES_SCHEMA)
 

@@ -40,3 +40,18 @@ def test_video_features_deterministic(spark):
     b = sorted(map(tuple, MM.sample_frames(MM.synth_video(spark, 10))
                    .collect()))
     assert a == b
+
+
+def test_audio_spectral_features(spark):
+    """the rFFT dominant frequency recovers each synthetic clip's
+    generation frequency within one FFT bin; centroid is positive and
+    bounded by Nyquist."""
+    a = MM.synth_audio(spark, 24)
+    rows = MM.audio_features(a).collect()
+    for r in rows:
+        idx = int(r["audio_id"][3:])
+        n_samples = 800 + (idx % 5) * 400
+        gen_hz = 110 + idx % 440
+        bin_hz = 8000.0 / n_samples
+        assert abs(r["dominant_hz"] - gen_hz) <= bin_hz + 1e-9
+        assert 0.0 < r["spectral_centroid_hz"] < 4000.0
