@@ -327,6 +327,19 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       level=6)
 
 
+DIST_JOIN_RADIUS = 0.005   # rad (~32 km)
+DIST_JOIN_MOD = 20         # subset: point_id % 20 == 0
+
+
+def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """within-distance self-join (co-location pairs) via the tile grid
+    equi-join + exact chord verify (SURVEY §2.5); brute-force SQL
+    oracle over the same subset."""
+    pts = FX.points_df(spark, sf_dir) \
+        .where(F.pmod("point_id", DIST_JOIN_MOD) == 0)
+    return J.distance_join(pts, DIST_JOIN_RADIUS)
+
+
 def _q_knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact kNN with the query set as a DATAFRAME (~1000 queries at
     sf0.01, derived from the point table) — the large-query-set scale
@@ -451,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_planned": _q_pip_planned,
         "pip_polygon": _q_pip_polygon,
         "knn_many": _q_knn_many,
+        "distance_join": _q_distance_join,
         "pip_buffered": _q_pip_buffered,
         "pip_anti": _q_pip_anti,
         "region_stats": _q_region_stats,
@@ -603,6 +617,24 @@ _SC = "sc"  # alias for the synthetic cell id
 def _synth_base() -> str:
     return (f"SELECT {_PID} AS point_id, ({synth.SYNTH_CELL_SQL.strip()}) "
             f"AS {_SC} FROM lineitem")
+
+
+def _distance_join_sql() -> str:
+    import numpy as np
+    thresh = 2.0 * np.sin(0.5 * DIST_JOIN_RADIUS)
+    thresh2 = float(thresh * thresh)
+    return f"""
+WITH ptx AS (
+  SELECT * FROM ({FX.PTX_SQL.strip()}) w
+  WHERE point_id % {DIST_JOIN_MOD} = 0),
+d AS (
+  SELECT a.point_id AS p1, b.point_id AS p2,
+         (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+         + (a.pz - b.pz) * (a.pz - b.pz) AS dist2
+  FROM ptx a JOIN ptx b ON a.point_id < b.point_id)
+SELECT p1, p2, round(dist2, 12) AS dist2
+FROM d WHERE dist2 <= ({thresh2!r})
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -815,6 +847,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "region_stats": region_stats,
         "knn": FX.knn_oracle_sql(),
         "knn_many": FX.knn_many_oracle_sql(),
+        "distance_join": _distance_join_sql(),
         "tile_assign": tile_assign,
         "raster_vector": raster_vector,
         "neighbors": neighbors,

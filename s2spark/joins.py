@@ -638,6 +638,54 @@ def _rank_candidates(pts, cand, qmeta) -> DataFrame:
         .select("query_id", "point_id", F.col("rnk").cast("int").alias("rnk"))
 
 
+def distance_join(points: DataFrame, radius_rad: float,
+                  level: int | None = None) -> DataFrame:
+    """within-distance SELF-join: all pairs (p1 < p2) of points within
+    great-circle angle ``radius_rad`` — the co-location primitive.
+
+    Scale shape (the standard grid join): pick the deepest level whose
+    MIN cell width >= radius, so any qualifying pair lies in the same
+    tile or a Moore neighbor; side a explodes to its tile + 8
+    neighbors ("zones"), side b keeps its tile, and the candidate join
+    is a plain hash EQUI-join on zone == tile (each ordered pair
+    matched at most once — a's zone set hits b's tile once). Exact
+    chord² verify on candidates only. Output (p1, p2, dist2) with
+    dist2 in the oracle's op order, rounded once.
+    """
+    from s2spark.udfs import s2_neighbors_udf
+
+    if level is None:
+        level = max(0, min(30, metrics.MIN_WIDTH.get_max_level(radius_rad)))
+    thresh = 2.0 * np.sin(0.5 * radius_rad)
+    thresh2 = thresh * thresh
+    pts = points if "cell_id" in points.columns else with_cell_id(points)
+    pts = pts.withColumn("tile", CC.parent("cell_id", level))
+    nbrs = s2_neighbors_udf(level)
+    a = pts.withColumn(
+        "zone", F.explode(F.array_union(nbrs("tile"),
+                                        F.array(F.col("tile"))))) \
+        .select(F.col("point_id").alias("p1"),
+                F.col("lat").alias("lat1"),
+                F.col("lng").alias("lng1"), "zone")
+    b = pts.select(F.col("point_id").alias("p2"),
+                   F.col("lat").alias("lat2"),
+                   F.col("lng").alias("lng2"), "tile")
+    cand = a.join(b, (a["zone"] == b["tile"]) & (a["p1"] < b["p2"]))
+
+    @F.pandas_udf("double")
+    def _chord2(lat1: pd.Series, lng1: pd.Series,
+                lat2: pd.Series, lng2: pd.Series) -> pd.Series:
+        return pd.Series(RK.chord_dist2(lat1.to_numpy(np.float64),
+                                        lng1.to_numpy(np.float64),
+                                        lat2.to_numpy(np.float64),
+                                        lng2.to_numpy(np.float64)))
+
+    return cand \
+        .withColumn("dist2", _chord2("lat1", "lng1", "lat2", "lng2")) \
+        .where(F.col("dist2") <= F.lit(thresh2)) \
+        .select("p1", "p2", F.round("dist2", 12).alias("dist2"))
+
+
 # ---------------------------------------------------------------------------
 # raster <-> vector alignment (SURVEY.md §2.5 row raster)
 # ---------------------------------------------------------------------------

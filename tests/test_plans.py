@@ -134,3 +134,13 @@ def test_parquet_filter_pushdown(spark, sf_dir):
     plan = _plan(df)
     assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey" \
         in plan or "GreaterThan(l_orderkey,1000)" in plan
+
+
+def test_distance_join_is_equi_join(spark, sf_dir):
+    """the within-distance self-join must be a zone==tile hash
+    equi-join, never a cartesian/theta join."""
+    from s2spark import fixtures as FX
+    pts = FX.points_df(spark, sf_dir).where(F.pmod("point_id", 20) == 0)
+    plan = _plan(J.distance_join(pts, 0.005))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
