@@ -234,6 +234,20 @@ def _q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neighbor_token", CC.token("neighbor_id"))
 
 
+def _q_vertex_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vertex-neighbor expansion (SURVEY §2.3): the 3-4 coarser-level
+    cells touching each cell's closest vertex, vectorized kernel UDF +
+    explode; full value-hash oracle via the frozen fixture."""
+    from s2spark.udfs import s2_vertex_neighbors_udf
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cells = li.select(synth.synth_cell_col().alias("cell_id")) \
+        .distinct().orderBy(CC.sortable("cell_id")).limit(2000)
+    vn = s2_vertex_neighbors_udf(11)
+    return cells.select(
+        "cell_id", F.explode(vn("cell_id")).alias("vertex_neighbor_id")) \
+        .withColumn("vn_token", CC.token("vertex_neighbor_id"))
+
+
 def _q_pip_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """point-in-region as a Catalyst-native bucketed broadcast hash
     join (SURVEY §2.5b, the 100 TB fast path) — same oracle as the
@@ -458,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cellunion_intersect": _q_cellunion_intersect,
         "tile_enumerate": _q_tile_enumerate,
         "neighbors": _q_neighbors,
+        "vertex_neighbors": _q_vertex_neighbors,
         "pip_broadcast": _q_pip_broadcast,
         "pip_bucketed": _q_pip_bucketed,
         "pip_salted": _q_pip_salted,
@@ -772,6 +787,25 @@ SELECT {synth.token_sql(synth.parent_sql('leaf_cell_id', 6))}
        count(DISTINCT phash) AS phash_distinct
 FROM g GROUP BY 1
 """
+    golden_vn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "golden",
+                             "synth_vertex_neighbors.parquet")
+    vertex_neighbors = f"""
+WITH cells AS (
+  SELECT cell_id FROM (
+    SELECT DISTINCT ({synth.SYNTH_CELL_SQL.strip()}) AS cell_id
+    FROM lineitem)
+  ORDER BY {synth.sortable_sql('cell_id')} LIMIT 2000),
+g AS (SELECT * FROM read_parquet('{golden_vn}')),
+j AS (SELECT c.cell_id,
+             unnest(CASE WHEN g.has4 THEN [g.v0, g.v1, g.v2, g.v3]
+                         ELSE [g.v0, g.v1, g.v2] END)
+                 AS vertex_neighbor_id
+      FROM cells c JOIN g ON c.cell_id = g.cell_id)
+SELECT cell_id, vertex_neighbor_id,
+       {synth.token_sql('vertex_neighbor_id')} AS vn_token
+FROM j
+"""
     golden_nbrs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "golden", "synth_neighbors.parquet")
     nbr_cols = ", ".join(f"g.n{k}" for k in range(8))
@@ -851,6 +885,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "tile_assign": tile_assign,
         "raster_vector": raster_vector,
         "neighbors": neighbors,
+        "vertex_neighbors": vertex_neighbors,
         "image_tile_stats_exact": image_tile_stats_exact,
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
