@@ -571,7 +571,8 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """synthetic geo_images -> decode -> phash/pixel/caption invariants
-    (BASELINE.json per-row invariant; lossless => exact)."""
+    (BASELINE.json per-row invariant; lossless => exact). Full
+    value-hash oracle via the frozen image_verify fixture."""
     from s2spark import images as IM
     return IM.verify_images(IM.synth_images(spark, 500))
 
@@ -599,23 +600,26 @@ def _q_image_tile_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """audio feature extraction over binary pcm16 clips: windowed
     energy + rFFT dominant frequency / spectral centroid (real numpy
-    DSP). Rows-only (binary payloads); the dominant-frequency
-    recovery is pinned by tests/test_multimodal.py."""
+    DSP). Full value-hash oracle via the frozen audio_features
+    fixture; dominant-frequency recovery also pinned by
+    tests/test_multimodal.py."""
     from s2spark import multimodal as MM
     return MM.audio_features(MM.synth_audio(spark, 300))
 
 
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """video frame sampling over raw-frame binary payloads (every 5th
-    frame -> per-frame stats). Rows-only."""
+    frame -> per-frame stats). Full value-hash oracle via the frozen
+    video_frames fixture."""
     from s2spark import multimodal as MM
     return MM.sample_frames(MM.synth_video(spark, 200))
 
 
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distributed resize (decode -> NN resample -> re-encode +
-    phash recompute). Rows-only (binary payloads); pixel exactness is
-    pinned by tests/test_images.py."""
+    phash recompute). Full value-hash oracle via the frozen
+    resized_images fixture; pixel exactness also pinned by
+    tests/test_images.py."""
     from s2spark import images as IM
     out = IM.resize_images(IM.synth_images(spark, 500), 16, 16)
     return out.select("image_id", "w", "h", "fmt", "phash", "caption")
@@ -627,6 +631,13 @@ def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PID = "l_orderkey * 1000000 + l_partkey * 100 + l_suppkey"
 _SC = "sc"  # alias for the synthetic cell id
+
+
+def _golden_select(name: str, cols: str) -> str:
+    """oracle over a frozen kernel-output fixture in tests/golden/."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests", "golden", f"{name}.parquet")
+    return f"SELECT {cols} FROM read_parquet('{p}')"
 
 
 def _synth_base() -> str:
@@ -887,6 +898,21 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "neighbors": neighbors,
         "vertex_neighbors": vertex_neighbors,
         "image_tile_stats_exact": image_tile_stats_exact,
+        # frozen media-pipeline fixtures (scripts/make_golden_media.py):
+        # each pipeline is deterministic numpy with no binary output
+        # columns, so its frozen output IS the value-hash oracle — a
+        # codec / resize / phash / rFFT regression trips the driver gate
+        "image_resize": _golden_select(
+            "resized_images", "image_id, w, h, fmt, phash, caption"),
+        "image_verify": _golden_select(
+            "image_verify", "image_id, caption, phash_ok, phash_ham, "
+                            "pixel_ok, psnr, mean_px"),
+        "audio_features": _golden_select(
+            "audio_features", "audio_id, caption, duration_sec, "
+                              "n_windows, energy_mean, energy_std, "
+                              "dominant_hz, spectral_centroid_hz"),
+        "video_frames": _golden_select(
+            "video_frames", "video_id, frame_idx, ts_sec, mean_px"),
         "dedup_exact": T.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": T.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": T.minhash_lsh_sql(),

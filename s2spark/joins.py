@@ -49,7 +49,7 @@ from s2spark.geometry import (
     cid_range_max,
     cid_range_min,
 )
-from s2spark.kernels import cellops, hilbert
+from s2spark.kernels import hilbert
 from s2spark.kernels import regions as RK
 
 SIGN = 1 << 63
@@ -393,80 +393,23 @@ def knn_auto_level(n_points: int, k_max: int) -> int:
 def knn_join(spark: SparkSession, points: DataFrame,
              queries: list[tuple[int, float, float, int]],
              level: int | None = 6, max_rings: int = 64) -> DataFrame:
-    """exact k nearest points per query via growing cell rings.
+    """exact k nearest points per query — small-list convenience API.
 
-    Ring r covers all cells within Chebyshev distance r of the query's
-    level-``level`` cell; a query is finished when it has >= k
-    candidates and the k-th chord distance is <= the guaranteed-safe
-    chord of r * min_cell_width — everything outside the ring is
-    provably farther. Candidate cells are broadcast; the points side
-    is filtered by a hash-join on its tile column (no full shuffle).
-
-    Output: (query_id, point_id, rnk) with (dist2, point_id) ties.
+    Thin shim over :func:`knn_join_df` (VERDICT r2 item 5: one ring
+    implementation, no per-ring driver ``collect()``): the query list
+    becomes a 4-column DataFrame (query_id, lat, lng, k) and the
+    DataFrame path does the certified ring growth, honoring the
+    per-query ``k`` column. Output: (query_id, point_id, rnk) with
+    (dist2, point_id) ties — identical contract and oracle as before.
     """
     if level is None:
         level = knn_auto_level(points.count(),
                                max(k for _, _, _, k in queries))
-    pts = points if "cell_id" in points.columns else with_cell_id(points)
-    pts = pts.withColumn("tile", CC.parent("cell_id", level))
-    pts.persist()
-    min_width = metrics.MIN_WIDTH.get_value(level)
-
-    centers = {}
-    rings = {}
-    for qid, qlat, qlng, k in queries:
-        leaf = hilbert.lat_lng_to_cell_id(np.array([qlat]), np.array([qlng]))
-        c = cellops.parent(leaf, level)
-        centers[qid] = c
-        rings[qid] = c.copy()
-
-    def safe_chord2(r: int) -> float:
-        theta = r * min_width
-        if theta >= np.pi:
-            return 4.0
-        s = 2.0 * np.sin(0.5 * theta)
-        return s * s
-
-    active = {qid: k for qid, _, _, k in queries}
-    r = 0
-    while active and r < max_rings:
-        r += 1
-        for qid in active:
-            rings[qid] = cellops.ring_expand(rings[qid], level)
-        cand = _candidates_df(spark, queries, rings, active)
-        qmeta = {qid: (qlat, qlng, k) for qid, qlat, qlng, k in queries}
-        stats = _ring_stats(pts, cand, qmeta)
-        done = []
-        for qid, k in active.items():
-            cnt, kth = stats.get(qid, (0, np.inf))
-            if cnt >= k and kth <= safe_chord2(r):
-                done.append(qid)
-        for qid in done:
-            del active[qid]
-        if safe_chord2(r) >= 4.0:
-            break
-
-    if active and safe_chord2(r) < 4.0:
-        # max_rings exhausted with unfinished queries (sparse data /
-        # coarse level): the rings certify nothing beyond r·min_width,
-        # so fall back to exact brute force for JUST those queries —
-        # their candidate set becomes every occupied tile (bounded by
-        # 6·4^level). Finished queries keep their certified rings.
-        finished = {qid: k for qid, _, _, k in queries if qid not in active}
-        cand = _candidates_df(spark, queries, rings, finished)
-        qid_df = spark.createDataFrame([(int(q),) for q in active],
-                                       "query_id long")
-        cand = cand.unionAll(
-            qid_df.crossJoin(pts.select("tile").distinct())
-            .select("query_id", "tile"))
-    else:
-        cand = _candidates_df(spark, queries, rings,
-                              {qid: k for qid, _, _, k in queries})
-    out = _rank_candidates(pts, cand,
-                           {qid: (qlat, qlng, k)
-                            for qid, qlat, qlng, k in queries})
-    pts.unpersist()
-    return out
+    q = spark.createDataFrame(
+        [(int(qid), float(la), float(ln), int(k))
+         for qid, la, ln, k in queries],
+        "query_id long, lat double, lng double, k int")
+    return knn_join_df(points, q, level=level, max_rounds=max_rings)
 
 
 def knn_join_df(points: DataFrame, queries: DataFrame,
@@ -479,12 +422,14 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
     one candidate stats pass, and one satisfied-query anti-join. The
     driver only checks "any queries left?" per round (a scalar).
 
-    ``queries``: (query_id, lat, lng). Output (query_id, point_id,
-    rnk) — identical contract (and oracle) as :func:`knn_join`, ties
-    by (dist2, point_id). Exactness: a query is certified once it has
-    >= k candidates with k-th chord² <= the safe chord² of its ring
-    radius (everything outside is provably farther); rounds exhaust →
-    remaining queries fall back to all occupied tiles (brute force).
+    ``queries``: (query_id, lat, lng[, k]) — an optional per-query
+    integer ``k`` column overrides the global ``k`` argument (the
+    small-list :func:`knn_join` shim uses this). Output (query_id,
+    point_id, rnk) — ties by (dist2, point_id). Exactness: a query is
+    certified once it has >= k candidates with k-th chord² <= the safe
+    chord² of its ring radius (everything outside is provably
+    farther); rounds exhaust → remaining queries fall back to all
+    occupied tiles (brute force).
     """
     from s2spark.udfs import s2_neighbors_udf
 
@@ -501,9 +446,12 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
         s = 2.0 * np.sin(0.5 * theta)
         return s * s
 
+    k_col = (F.col("k").cast("int") if "k" in queries.columns
+             else F.lit(int(k)))
     q = queries.select("query_id",
                        F.col("lat").alias("qlat"),
-                       F.col("lng").alias("qlng"))
+                       F.col("lng").alias("qlng"),
+                       k_col.alias("kq"))
     enc = with_cell_id(q.selectExpr("query_id", "qlat AS lat",
                                     "qlng AS lng"))
     q = q.join(enc.select("query_id",
@@ -527,14 +475,15 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
         """per-query candidate count + k-th smallest chord²."""
         from pyspark.sql import Window
         d = pts.join(cand_tiles, "tile") \
-            .join(q.select("query_id", "qlat", "qlng"), "query_id") \
+            .join(q.select("query_id", "qlat", "qlng", "kq"),
+                  "query_id") \
             .withColumn("dist2", _chord2("qlat", "qlng", "lat", "lng"))
         w = Window.partitionBy("query_id").orderBy("dist2", "point_id")
         return d.withColumn("rnk", F.row_number().over(w)) \
-            .groupBy("query_id") \
+            .groupBy("query_id", "kq") \
             .agg(F.count("*").alias("cnt"),
-                 F.min(F.when(F.col("rnk") == k, F.col("dist2")))
-                 .alias("kth"))
+                 F.min(F.when(F.col("rnk") == F.col("kq"),
+                              F.col("dist2"))).alias("kth"))
 
     r = 0
     while r < max_rounds:
@@ -546,7 +495,7 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
         seen = seen.unionAll(new_tiles).localCheckpoint()
         st = _stats(seen.join(active, "query_id", "left_semi"))
         bound = float(safe_chord2(r))
-        satisfied = st.where((F.col("cnt") >= k)
+        satisfied = st.where((F.col("cnt") >= F.col("kq"))
                              & F.col("kth").isNotNull()
                              & (F.col("kth") <= F.lit(bound))) \
             .select("query_id")
@@ -565,77 +514,17 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
 
     from pyspark.sql import Window
     d = pts.join(seen, "tile") \
-        .join(q.select("query_id", "qlat", "qlng"), "query_id") \
-        .select("query_id", "point_id", "lat", "lng", "qlat", "qlng") \
+        .join(q.select("query_id", "qlat", "qlng", "kq"), "query_id") \
+        .select("query_id", "point_id", "lat", "lng",
+                "qlat", "qlng", "kq") \
         .withColumn("dist2", _chord2("qlat", "qlng", "lat", "lng"))
     w = Window.partitionBy("query_id").orderBy("dist2", "point_id")
     out = d.withColumn("rnk", F.row_number().over(w)) \
-        .where(F.col("rnk") <= k) \
+        .where(F.col("rnk") <= F.col("kq")) \
         .select("query_id", "point_id", F.col("rnk").cast("int").alias("rnk"))
     pts.unpersist()
     q.unpersist()
     return out
-
-
-def _candidates_df(spark, queries, rings, active) -> DataFrame:
-    rows = []
-    for qid, qlat, qlng, k in queries:
-        if qid not in active:
-            continue
-        for c in rings[qid]:
-            v = int(c)
-            if v >= SIGN:
-                v -= 1 << 64
-            rows.append((qid, v))
-    return spark.createDataFrame(rows, "query_id long, tile long")
-
-
-def _dist2_udf(qmeta):
-    @F.pandas_udf("double")
-    def _dist2(query_id: pd.Series, lat: pd.Series,
-               lng: pd.Series) -> pd.Series:
-        qids = query_id.to_numpy(np.int64)
-        qlat = np.empty(len(qids))
-        qlng = np.empty(len(qids))
-        for qid, (la, ln, _) in qmeta.items():
-            m = qids == qid
-            qlat[m] = la
-            qlng[m] = ln
-        return pd.Series(RK.chord_dist2(qlat, qlng,
-                                        lat.to_numpy(np.float64),
-                                        lng.to_numpy(np.float64)))
-    return _dist2
-
-
-def _ring_stats(pts, cand, qmeta) -> dict[int, tuple[int, float]]:
-    from pyspark.sql import Window
-    d = pts.join(F.broadcast(cand), pts["tile"] == cand["tile"]) \
-        .select("query_id", "point_id", "lat", "lng") \
-        .withColumn("dist2", _dist2_udf(qmeta)("query_id", "lat", "lng"))
-    w = Window.partitionBy("query_id").orderBy("dist2", "point_id")
-    ranked = d.withColumn("rnk", F.row_number().over(w))
-    k_expr = F.create_map(*[x for qid, (_, _, k) in qmeta.items()
-                            for x in (F.lit(qid), F.lit(k))])
-    stats = ranked.groupBy("query_id").agg(
-        F.count("*").alias("cnt"),
-        F.min(F.when(F.col("rnk") == k_expr[F.col("query_id")],
-                     F.col("dist2"))).alias("kth"))
-    return {r["query_id"]: (r["cnt"],
-                            r["kth"] if r["kth"] is not None else np.inf)
-            for r in stats.collect()}
-
-
-def _rank_candidates(pts, cand, qmeta) -> DataFrame:
-    from pyspark.sql import Window
-    d = pts.join(F.broadcast(cand), pts["tile"] == cand["tile"]) \
-        .select("query_id", "point_id", "lat", "lng") \
-        .withColumn("dist2", _dist2_udf(qmeta)("query_id", "lat", "lng"))
-    w = Window.partitionBy("query_id").orderBy("dist2", "point_id")
-    ranked = d.withColumn("rnk", F.row_number().over(w))
-    k_expr = F.create_map(*[x for qid, (_, _, k) in qmeta.items()
-                            for x in (F.lit(qid), F.lit(k))])
-    return ranked.where(F.col("rnk") <= k_expr[F.col("query_id")]) \
-        .select("query_id", "point_id", F.col("rnk").cast("int").alias("rnk"))
 
 
 def distance_join(points: DataFrame, radius_rad: float,

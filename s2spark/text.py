@@ -110,18 +110,49 @@ FROM documents GROUP BY 1
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 
+NGRAM_SALT_TARGET = 64   # docs per (shingle, salt) slice before salting
+NGRAM_MAX_SALT = 16
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """all-pairs 3-gram Jaccard >= tau via shingle equi-self-join.
 
-    Scale path: the shingle join shuffles on the shingle hash; hot
-    shingles are the skew risk — MinHash/LSH below is the sub-
-    quadratic variant for web scale.
+    This is the documented EXACT twin (MinHash/LSH below is the
+    sub-quadratic web-scale path); the join itself is still guarded
+    against hot shingles (VERDICT r2 item 6, same salt pattern as
+    ``ann.embedding_cosine_dedup``): a stop-word-like shingle shared
+    by m docs would otherwise land its m² candidate pairs on ONE
+    reducer. Per-shingle doc-frequency (cheap partial agg) assigns a
+    salt factor to oversized shingles only — that table is tiny by
+    definition, so it broadcasts; side a keeps its own salt
+    ``hash(doc_id) % factor``, side b replicates to every salt of its
+    shingle, and the join key becomes (sh, salt). Each pair still
+    matches exactly once per shared shingle → output (and the DuckDB
+    oracle) identical, but a hot shingle's pairs spread across
+    ``factor`` tasks.
     """
-    sh = shingles_df(_docs(spark, sf_dir))
+    return _ngram_jaccard_pairs(shingles_df(_docs(spark, sf_dir)))
+
+
+def _ngram_jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """core over a prebuilt (doc_id, sh) shingle table (testable with
+    synthetic skew)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    hot = sh.groupBy("sh").agg(F.count("*").alias("df_n")) \
+        .where(F.col("df_n") > NGRAM_SALT_TARGET) \
+        .select("sh", F.least(
+            F.ceil(F.col("df_n") / F.lit(NGRAM_SALT_TARGET)),
+            F.lit(NGRAM_MAX_SALT)).cast("int").alias("salt_factor"))
+    shf = sh.join(F.broadcast(hot), "sh", "left") \
+        .withColumn("salt_factor", F.coalesce("salt_factor", F.lit(1)))
+    a = shf.withColumn(
+        "salt", F.pmod(F.hash("doc_id"), F.col("salt_factor"))).alias("a")
+    b = shf.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0),
+                                     F.col("salt_factor") - F.lit(1)))) \
+        .alias("b")
     inter = a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.salt") == F.col("b.salt"))
                    & (F.col("a.doc_id") < F.col("b.doc_id"))) \
         .groupBy(F.col("a.doc_id").alias("d1"),
                  F.col("b.doc_id").alias("d2")) \
@@ -483,11 +514,23 @@ def dedup_components(spark: SparkSession, sf_dir: str,
     """
     pairs = minhash_lsh_pairs(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id").distinct()
+    return _components(docs, pairs, max_iters)
+
+
+def _components(docs: DataFrame, pairs: DataFrame,
+                max_iters: int = 50) -> DataFrame:
+    """min-label propagation WITH pointer doubling (ADVICE r2): each
+    round propagates over edges, then jumps through the label's own
+    label (path compression), so convergence takes O(log diameter)
+    rounds instead of O(diameter) — a 10⁶-long dup chain converges in
+    ~20 rounds. Raises if ``max_iters`` rounds end without a
+    fixed point rather than silently returning partial labels."""
     e = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     edges = e.unionAll(e.select(F.col("b").alias("a"),
                                 F.col("a").alias("b"))).localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("label")) \
         .localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         nbr_min = edges.join(labels, edges["b"] == labels["doc_id"]) \
             .groupBy(F.col("a").alias("doc_id")) \
@@ -495,13 +538,27 @@ def dedup_components(spark: SparkSession, sf_dir: str,
         new_labels = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
             F.least("label", F.coalesce("nbr_label", "label"))
+            .alias("label"))
+        # pointer doubling: label ← label[label]. Labels are doc_ids,
+        # so the jump table is the labels table re-keyed; one extra
+        # hash join per round halves the remaining path length.
+        jump = new_labels.select(F.col("doc_id").alias("label"),
+                                 F.col("label").alias("jump_label"))
+        new_labels = new_labels.join(jump, "label", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("jump_label", "label"))
             .alias("label")).localCheckpoint()
         changed = new_labels.alias("n") \
             .join(labels.alias("o"), "doc_id") \
             .where(F.col("n.label") != F.col("o.label")).isEmpty()
         labels = new_labels
         if changed:  # isEmpty() True == nothing changed
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iters} rounds "
+            "(near-dup chain diameter > 2^rounds); raise max_iters")
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
 
@@ -553,7 +610,7 @@ pii AS ({pii_scan_sql().strip()}),
 samp AS ({stratified_sample_sql().strip()}),
 toks AS ({TOKEN_COUNT_SQL.strip()})
 SELECT samp.pred_lang, count(*) AS n_docs,
-       sum(toks.ws_tokens) AS ws_tokens
+       CAST(sum(toks.ws_tokens) AS BIGINT) AS ws_tokens
 FROM samp
 JOIN pii ON pii.doc_id = samp.doc_id AND pii.keep
 JOIN comp ON comp.doc_id = samp.doc_id

