@@ -459,6 +459,59 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 2).alias("sum_value"))
 
 
+SESSION_GAP_MIN = 30  # 30-minute inactivity gap
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-user SESSIONIZATION (gaps-and-islands): a new session
+    starts when >30 min passes between a user's consecutive events.
+    Two windows (lag flag, then running sum) + one agg — all JVM
+    expressions; shuffles once on user_id and both window passes plus
+    the final groupBy reuse that partitioning. Timestamps compared by
+    direct interval arithmetic on TIMESTAMP_NTZ (tz-independent,
+    identical in DuckDB). Batch twin of streaming session windows
+    (SURVEY §2.10)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "event_id", "value", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.col("ts") - F.lag("ts").over(w) > gap, 1)
+        .when(F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+def _event_sessions_sql() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w
+                   > INTERVAL '{SESSION_GAP_MIN} minutes' THEN 1
+              ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INT)
+                AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from s2spark import ann as A
     from s2spark import text as T
@@ -502,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
         "pii_scan": _q_pii_scan,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "corpus_curation": _q_corpus_curation,
         "ann_ivf_buckets": _q_ann_ivf_buckets,
         "ann_ivf": _q_ann_ivf,
@@ -510,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": _q_image_verify,
         "image_tile_stats": _q_image_tile_stats,
         "image_resize": _q_image_resize,
+        "image_phash_neardup": _q_image_phash_neardup,
         "image_tile_stats_exact": _q_image_tile_stats_exact,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -519,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "events_window": _q_events_window,
+        "event_sessions": _q_event_sessions,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
@@ -544,6 +600,14 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure regexp projection, exact oracle."""
     from s2spark import text as T
     return T.pii_scan(spark, sf_dir)
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language top-5 terms by integer TF-IDF score (token explode
+    -> tf/df partial aggs -> broadcast scalar doc count -> top-k
+    window); exact SQL oracle."""
+    from s2spark import text as T
+    return T.tfidf_top_terms(spark, sf_dir)
 
 
 def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +659,17 @@ def _q_image_tile_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(CC.token("tile_id").alias("tile_token")) \
         .agg(F.count("*").alias("n_images"),
              F.count_distinct("phash").alias("phash_distinct"))
+
+
+def _q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup image pairs by phash hamming <= 7 via pigeonhole
+    banding (union of band-key equi-joins, no all-pairs — the
+    multimodal dedup op). Oracle: brute-force hamming over the FROZEN
+    geo_images fixture phashes, so generator + phash DCT + banding
+    logic are all cross-checked against an independent all-pairs
+    recompute."""
+    from s2spark import images as IM
+    return IM.phash_neardup_pairs(IM.synth_images(spark, 500))
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +977,16 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         # each pipeline is deterministic numpy with no binary output
         # columns, so its frozen output IS the value-hash oracle — a
         # codec / resize / phash / rFFT regression trips the driver gate
+        "image_phash_neardup": f"""
+WITH g AS (SELECT image_id, phash
+           FROM read_parquet('{os.path.join(
+               os.path.dirname(os.path.abspath(__file__)),
+               "tests", "golden", "geo_images.parquet")}'))
+SELECT a.image_id AS i1, b.image_id AS i2,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM g a JOIN g b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {7}
+""",
         "image_resize": _golden_select(
             "resized_images", "image_id, w, h, fmt, phash, caption"),
         "image_verify": _golden_select(
@@ -930,6 +1015,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "dedup_components": T.dedup_components_sql(),
         "stratified_sample": T.stratified_sample_sql(),
         "pii_scan": T.pii_scan_sql(),
+        "tfidf_top_terms": T.tfidf_top_terms_sql(),
         "corpus_curation": T.corpus_curation_sql(),
         "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
         "top_tiles": top_tiles,
@@ -937,4 +1023,5 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "pricing_summary": pricing_summary,
         "top_customers": top_customers,
         "events_window": events_window,
+        "event_sessions": _event_sessions_sql(),
     }

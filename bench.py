@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "pip_planned", "pip_polygon", "region_stats", "knn",
     "raster_vector", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "ann_bruteforce", "simhash", "quality_score", "image_verify",
-    "pricing_summary",
+    "pricing_summary", "image_phash_neardup", "event_sessions",
 ]
 
 
@@ -130,12 +130,19 @@ def run_queries(spark) -> dict[str, float]:
     qs = E.queries()
     # spawn Python workers / warm imports before timing anything
     qs["tile_assign"](spark, SF_DIR).limit(1000).count()
-    times = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    times: dict[str, float] = {}
+    # two passes, keep the min per query: single-shot timings at the
+    # 0.4–4 s scale are fixed-overhead/noise-dominated and made the
+    # r1→r2 per-query comparison meaningless (uniform ±7–31% drift);
+    # min-of-2 recovers the steady state at +1 suite pass cost
+    n_passes = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
+    for _ in range(n_passes):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, sec), sec)
     return times
 
 
@@ -319,10 +326,17 @@ def _flagship_subprocess(cores: int, n_rows: int, pts_path: str) -> None:
         os.environ[var] = "1"
     _POINTS_CACHE[n_rows] = pts_path
     s = make_session(cores)
-    # one FULL-SIZE warmup rep, discarded: first full run pays JIT /
-    # codegen / page-cache costs (round-1 local[32] reps decayed
-    # 16.5 -> 7.6 s across reps — that's warmup, not noise)
-    warmup_sec, _ = flagship_job(s, n_rows)
+    # FULL-SIZE warmup reps, discarded: the first full runs pay JIT /
+    # codegen / page-cache costs and wide levels keep improving past
+    # rep 1 (r2 local[8] decayed 24.2 -> 19.3 -> 19.0 -> 16.5 across
+    # reps — warmup, not noise), so wide levels discard 2
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS",
+                                "1" if cores <= 2 else "2"))
+    warmups = []
+    for _ in range(n_warm):
+        wsec, _ = flagship_job(s, n_rows)
+        warmups.append(round(wsec, 2))
+    warmup_sec = warmups[0]
     secs = []
     n_out = 0
     # the sandbox's wall clock is noisy (2x swings and bimodal reps
@@ -331,15 +345,21 @@ def _flagship_subprocess(cores: int, n_rows: int, pts_path: str) -> None:
     # (+-5%) and each costs ~60s, so it gets fewer reps — min-of-fewer
     # can only OVERSTATE its time, which understates efficiency
     # (conservative direction).
-    default_reps = "3" if cores <= 2 else "6"
+    default_reps = "3" if cores <= 2 else "8"
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", default_reps))
+    loads = []
     for _ in range(n_reps):
         sec, n_out = flagship_job(s, n_rows)
         secs.append(sec)
+        # box-wide 1-min load per rep: published so co-tenant noise in
+        # a slow rep is visible in the evidence, not argued after
+        loads.append(round(os.getloadavg()[0], 1))
     s.stop()
     import statistics
     print(json.dumps({"sec": min(secs), "out_rows": n_out,
                       "reps": [round(x, 2) for x in secs],
+                      "loadavg_per_rep": loads,
+                      "warmup_secs": warmups,
                       "warmup_sec": round(warmup_sec, 2),
                       "cpu_budget": budget, "pinned": pinned,
                       "median_sec": round(statistics.median(secs), 2)}))

@@ -314,6 +314,51 @@ def resize_images(images: DataFrame, out_w: int,
     return images.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
+PHASH_HAMMING_MAX = 7   # 8 bands of 8 bits (pigeonhole: <=7 diffs
+#                         leave at least one band identical)
+
+
+def phash_neardup_pairs(images: DataFrame,
+                        max_hamming: int = PHASH_HAMMING_MAX) -> DataFrame:
+    """near-duplicate IMAGE pairs by perceptual-hash hamming distance
+    — the multimodal twin of ``text.simhash_pairs`` and the core
+    image-dedup op of a training-data pipeline (the graft axis's
+    image payload): two crops/re-encodes of the same photo land
+    within a few phash bits of each other.
+
+    Same pigeonhole banding (scale path, no all-pairs): split the
+    64-bit phash into ``max_hamming + 1`` bands; any pair at hamming
+    <= max_hamming agrees exactly on at least one band, so the join
+    is a union of band-key EQUI-joins + exact ``bit_count`` filter.
+    Output (i1, i2, hamming), deduped across bands.
+    """
+    n_bands = max_hamming + 1
+    assert 64 % n_bands == 0, "band width must divide 64"
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    sig = images.select("image_id", "phash")
+    parts = [
+        sig.select(
+            "image_id", "phash", F.lit(i).alias("band"),
+            F.shiftright("phash", i * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("band_key"))
+        for i in range(n_bands)]
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionAll(p)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return a.join(b, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
+                  & (F.col("a.image_id") < F.col("b.image_id"))) \
+        .where(ham <= F.lit(max_hamming)) \
+        .select(F.col("a.image_id").alias("i1"),
+                F.col("b.image_id").alias("i2"),
+                ham.cast("int").alias("hamming")) \
+        .distinct()
+
+
 def image_tile_stats(images: DataFrame, level: int = 8) -> DataFrame:
     """per-tile image statistics: encode geo -> tile (Column expr) ->
     per-tile counts + phash diversity (approx distinct)."""

@@ -61,6 +61,36 @@ def run_stream_to_memory(spark: SparkSession, events_dir: str,
     return spark.table(name)
 
 
+def user_sessions(events: DataFrame,
+                  gap: str = "30 minutes") -> DataFrame:
+    """SESSION WINDOWS (SURVEY §2.10): per-user sessions that merge
+    events within ``gap`` of each other — Spark's native
+    ``session_window`` on both batch and streaming DataFrames, the
+    streaming twin of the batch gaps-and-islands query
+    (``__spark_entry__._q_event_sessions``, DuckDB-oracled). Output:
+    (user_id, start_ts, end_ts, n_events, sum_value); ``end_ts`` is
+    last event + gap per session_window semantics."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", gap)
+    return df.groupBy(F.session_window("ts", gap).alias("sw"),
+                      "user_id") \
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value")) \
+        .select("user_id", F.col("sw.start").alias("start_ts"),
+                F.col("sw.end").alias("end_ts"), "n_events",
+                "sum_value")
+
+
+def run_sessions_to_memory(spark: SparkSession, events_dir: str,
+                           name: str = "user_sessions") -> DataFrame:
+    q = user_sessions(read_events_stream(spark, events_dir)) \
+        .writeStream.format("memory").queryName(name) \
+        .outputMode("complete").trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_pip_counts(events: DataFrame, covering_rows: list,
                          params_by_region: dict) -> DataFrame:
     """STREAM-STATIC spatial join: streaming points against the static

@@ -405,6 +405,72 @@ FROM documents
 """
 
 
+TFIDF_TOP_K = 5
+TFIDF_IDF_SCALE = 1000   # idf surrogate = floor(N*1000/df) — integer,
+#                          exact cross-engine (single double divide)
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language top-K terms by a TF-IDF-style score — the corpus
+    vocabulary-analysis op. Integer scoring (tf × floor(N·1000/df))
+    keeps the oracle exact: one IEEE double divide + floor is
+    bit-identical across engines, everything else is int64.
+
+    Scale shape: token explode → two partial aggs (tf shuffles on
+    (lang, term), df on term) → broadcast of the scalar doc count →
+    per-language top-K window. No driver actions."""
+    from pyspark.sql import Window
+    d = with_tokens(_docs(spark, sf_dir))
+    toks = d.select("doc_id", F.explode("toks").alias("term")) \
+        .where((~F.col("term").isin(STOPWORDS))
+               & (F.length("term") > 0))
+    lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    tf = toks.join(lang, "doc_id").groupBy("pred_lang", "term") \
+        .agg(F.count("*").alias("tf"))
+    dfreq = toks.select("doc_id", "term").distinct() \
+        .groupBy("term").agg(F.count("*").alias("df_docs"))
+    n_docs = _docs(spark, sf_dir) \
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)) \
+        .withColumn("score", (F.col("tf") * F.floor(
+            F.col("n_docs") * F.lit(float(TFIDF_IDF_SCALE))
+            / F.col("df_docs")).cast("long")).cast("long"))
+    w = Window.partitionBy("pred_lang").orderBy(F.desc("score"), "term")
+    return scored.withColumn("rnk",
+                             F.row_number().over(w).cast("int")) \
+        .where(F.col("rnk") <= TFIDF_TOP_K) \
+        .select("pred_lang", "term", "tf", "df_docs", "score", "rnk")
+
+
+def tfidf_top_terms_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    idf = f"CAST(floor(n_docs * {TFIDF_IDF_SCALE}.0 / df_docs) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tok AS (SELECT doc_id, term FROM toks
+        WHERE term NOT IN ({stop}) AND len(term) > 0),
+lang AS ({lang_id_sql().strip()}),
+tf AS (SELECT lang.pred_lang, tok.term, count(*) AS tf
+       FROM tok JOIN lang USING (doc_id) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df_docs
+          FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT pred_lang, term, tf, df_docs,
+         CAST(tf * {idf} AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY pred_lang
+                                    ORDER BY score DESC, term) AS INT)
+                AS rnk
+  FROM scored)
+SELECT pred_lang, term, tf, df_docs, score, rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """document fingerprint: 60-bit content hash + first-shingle hash
     (a cheap rolling-prefix signature)."""

@@ -111,3 +111,35 @@ def test_stream_static_pip_join(spark, sf_dir, tmp_path):
     q.awaitTermination()
     got = sorted(tuple(r) for r in spark.table("pip_stream_test").collect())
     assert got == expected
+
+
+def test_session_windows_stream_matches_batch_and_islands(spark, sf_dir,
+                                                          tmp_path):
+    """three-way session equivalence: (1) session_window on the STREAM
+    == session_window on the BATCH; (2) session_window == the
+    gaps-and-islands window-function query (the DuckDB-oracled batch
+    twin), with session_window's end = last event + gap."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = str(tmp_path / "ev_sess")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
+
+    batch = ST.user_sessions(spark.read.parquet(src))
+    expected = sorted(tuple(r) for r in batch.collect())
+    got_df = ST.run_sessions_to_memory(spark, stream_dir, name="us_test")
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert len(got) > 0
+    assert got == expected
+
+    import __spark_entry__ as E
+    isl = E.queries()["event_sessions"](spark, sf_dir)
+    gap = datetime.timedelta(minutes=E.SESSION_GAP_MIN)
+    isl_set = sorted(
+        (r["user_id"], r["start_ts"], r["end_ts"] + gap,
+         r["n_events"], r["sum_value"])
+        for r in isl.collect())
+    assert isl_set == expected
