@@ -485,11 +485,33 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
                  F.min(F.when(F.col("rnk") == F.col("kq"),
                               F.col("dist2"))).alias("kth"))
 
-    r = 0
+    # exponential ring growth: round g expands the frontier by
+    # min(2^g, 8) rings IN ONE JOB (chained lazy explodes, one
+    # checkpoint per round) — a sparse-area query needing radius R is
+    # certified in O(log R) driver rounds instead of R. Exactness is
+    # untouched: `seen` stays exactly disk(center, r_cum) (expanding
+    # the outer shell by s rings covers the full next annulus — every
+    # tile at Chebyshev distance r_cum + k, k <= s, is within k of a
+    # shell tile), and the certification bound uses the cumulative
+    # radius r_cum. Extra candidates can never change the exact final
+    # top-k ranking, only ring tightness.
+    r = 0          # cumulative ring radius (certification bound)
+    g = 0          # driver round counter
     while r < max_rounds:
-        r += 1
-        grown = frontier.select(
-            "query_id", F.explode(nbrs("tile")).alias("tile")).distinct()
+        g += 1
+        step = min(2 ** (g - 1), 8, max_rounds - r)
+        r += step
+        shell = frontier
+        parts = []
+        for _ in range(step):
+            shell = shell.select(
+                "query_id",
+                F.explode(nbrs("tile")).alias("tile")).distinct()
+            parts.append(shell)
+        grown = parts[0]
+        for p in parts[1:]:
+            grown = grown.unionAll(p)
+        grown = grown.distinct()
         new_tiles = grown.join(seen, ["query_id", "tile"], "left_anti") \
             .localCheckpoint()
         seen = seen.unionAll(new_tiles).localCheckpoint()
