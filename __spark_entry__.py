@@ -556,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pii_scan": _q_pii_scan,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "token_quantiles": _q_token_quantiles,
         "corpus_curation": _q_corpus_curation,
         "ann_ivf_buckets": _q_ann_ivf_buckets,
         "ann_ivf": _q_ann_ivf,
@@ -565,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_stats": _q_image_tile_stats,
         "image_resize": _q_image_resize,
         "image_phash_neardup": _q_image_phash_neardup,
+        "image_pip": _q_image_pip,
         "image_tile_stats_exact": _q_image_tile_stats_exact,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -600,6 +602,13 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure regexp projection, exact oracle."""
     from s2spark import text as T
     return T.pii_scan(spark, sf_dir)
+
+
+def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact per-language token-count quantiles (nearest-rank
+    p50/p90/p99, all-integer rank math); exact SQL oracle."""
+    from s2spark import text as T
+    return T.token_quantiles(spark, sf_dir)
 
 
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,6 +679,53 @@ def _q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute."""
     from s2spark import images as IM
     return IM.phash_neardup_pairs(IM.synth_images(spark, 500))
+
+
+def _q_image_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-star join shape on the IMAGE table itself: geo-tagged
+    images -> S2 encode -> point-in-region broadcast join vs the 17
+    fixture regions -> per-region image count + exact phash diversity
+    + distinct level-6 tiles. Oracle: frozen geo_images fixture
+    (lat/lng/leaf/phash all kernel-frozen) + the exact region
+    predicates in SQL — generator, encode, PIP verify, and tiling are
+    all hash-gated end to end."""
+    from s2spark import images as IM
+    cov_rows, params = _coverings()
+    imgs = IM.synth_images(spark, 500)
+    pts = imgs.select(
+        F.substring("image_id", 4, 12).cast("long").alias("point_id"),
+        "lat", "lng", "phash")
+    m = J.pip_join_broadcast(pts, cov_rows, params,
+                             extra_cols=("phash",), emit_cell_id=True)
+    return m.groupBy("region_id").agg(
+        F.count("*").alias("n_images"),
+        F.count_distinct("phash").alias("phash_distinct"),
+        F.count_distinct(CC.token(CC.parent("cell_id", 6)))
+        .alias("n_tiles"))
+
+
+def _image_pip_sql() -> str:
+    golden_imgs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden", "geo_images.parquet")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({rid} AS BIGINT) AS region_id, phash, leaf_cell_id "
+        f"FROM g WHERE " + FX.region_predicate_sql(rid)
+        for rid in sorted(FX.region_params()))
+    deg = FX.DEG
+    return f"""
+WITH g AS (SELECT lat, lng, leaf_cell_id, phash,
+                  cos(lng * {deg!r}) * cos(lat * {deg!r}) AS px,
+                  sin(lng * {deg!r}) * cos(lat * {deg!r}) AS py,
+                  sin(lat * {deg!r}) AS pz,
+                  lng - 360.0 * floor((lng + 180.0) / 360.0) AS lngn
+           FROM read_parquet('{golden_imgs}')),
+m AS ({arms})
+SELECT region_id, count(*) AS n_images,
+       count(DISTINCT phash) AS phash_distinct,
+       count(DISTINCT ({synth.token_sql(
+           synth.parent_sql('leaf_cell_id', 6))})) AS n_tiles
+FROM m GROUP BY region_id
+"""
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,6 +1033,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         # each pipeline is deterministic numpy with no binary output
         # columns, so its frozen output IS the value-hash oracle — a
         # codec / resize / phash / rFFT regression trips the driver gate
+        "image_pip": _image_pip_sql(),
         "image_phash_neardup": f"""
 WITH g AS (SELECT image_id, phash
            FROM read_parquet('{os.path.join(
@@ -1016,6 +1073,7 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {7}
         "stratified_sample": T.stratified_sample_sql(),
         "pii_scan": T.pii_scan_sql(),
         "tfidf_top_terms": T.tfidf_top_terms_sql(),
+        "token_quantiles": T.token_quantiles_sql(),
         "corpus_curation": T.corpus_curation_sql(),
         "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
         "top_tiles": top_tiles,

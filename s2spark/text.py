@@ -471,6 +471,57 @@ FROM ranked WHERE rnk <= {TFIDF_TOP_K}
 """
 
 
+def token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language token-count quantiles (p50/p90/p99 by the
+    nearest-rank definition: value at row ceil(p·n)) — corpus length
+    profiling. All-integer rank math (ceil(p·n) = (p_num·n + p_num·?)
+    // p_den via (a + b - 1) // b) so both engines pick the identical
+    row; doc_id tie-break makes the pick deterministic.
+
+    Scale shape: one shuffle on pred_lang for the window pass, then a
+    partial/final agg on the same key (no re-shuffle)."""
+    from pyspark.sql import Window
+    toks = token_count(spark, sf_dir).select("doc_id", "ws_tokens")
+    lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    j = toks.join(lang, "doc_id")
+    w = Window.partitionBy("pred_lang").orderBy("ws_tokens", "doc_id")
+    wn = Window.partitionBy("pred_lang")
+    r = j.withColumn("rk", F.row_number().over(w)) \
+        .withColumn("n", F.count("*").over(wn))
+
+    def _at(p_num: int, p_den: int):
+        rank = F.expr(f"({p_num} * n + {p_den} - 1) div {p_den}")
+        return F.min(F.when(F.col("rk") == rank, F.col("ws_tokens")))
+
+    return r.groupBy("pred_lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        _at(1, 2).alias("p50_tokens"),
+        _at(9, 10).alias("p90_tokens"),
+        _at(99, 100).alias("p99_tokens"))
+
+
+def token_quantiles_sql() -> str:
+    def at(p_num: int, p_den: int, name: str) -> str:
+        return (f"min(CASE WHEN rk = ({p_num} * n + {p_den} - 1) "
+                f"// {p_den} THEN ws_tokens END) AS {name}")
+    return f"""
+WITH toks AS ({TOKEN_COUNT_SQL.strip()}),
+lang AS ({lang_id_sql().strip()}),
+r AS (
+  SELECT lang.pred_lang, toks.ws_tokens,
+         row_number() OVER (PARTITION BY lang.pred_lang
+                            ORDER BY toks.ws_tokens, toks.doc_id)
+             AS rk,
+         count(*) OVER (PARTITION BY lang.pred_lang) AS n
+  FROM toks JOIN lang USING (doc_id))
+SELECT pred_lang, CAST(max(n) AS BIGINT) AS n_docs,
+       {at(1, 2, 'p50_tokens')},
+       {at(9, 10, 'p90_tokens')},
+       {at(99, 100, 'p99_tokens')}
+FROM r GROUP BY pred_lang
+"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """document fingerprint: 60-bit content hash + first-shingle hash
     (a cheap rolling-prefix signature)."""
