@@ -552,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": A.lsh_buckets,
         "ann_lsh": A.ann_lsh_topk,
         "embedding_similar_pairs": A.embedding_cosine_dedup,
+        "embedding_components": _q_embedding_components,
         "dedup_components": _q_dedup_components,
         "stratified_sample": _q_stratified_sample,
         "pii_scan": _q_pii_scan,
@@ -640,6 +641,14 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest inverted-file cells (the brief's IVF scale path)."""
     from s2spark import ann as A
     return A.ann_ivf_topk(spark, sf_dir)
+
+
+def _q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canonical vector per embedding near-dup cluster (connected
+    components over the salted cosine-pair graph via pointer-doubling
+    min-label propagation); recursive-CTE oracle."""
+    from s2spark import ann as A
+    return A.embedding_components(spark, sf_dir)
 
 
 def _q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1076,6 +1085,7 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {7}
         "token_quantiles": T.token_quantiles_sql(),
         "corpus_curation": T.corpus_curation_sql(),
         "embedding_similar_pairs": A.embedding_cosine_dedup_sql(),
+        "embedding_components": A.embedding_components_sql(),
         "top_tiles": top_tiles,
         "tile_setops": tile_setops,
         "pricing_summary": pricing_summary,

@@ -390,3 +390,35 @@ JOIN b bc ON TRUE JOIN embeddings c ON c.vec_id = bc.vec_id
 WHERE ba.bucket = bc.bucket AND a.vec_id < c.vec_id
   AND {cos} >= {tau!r}
 """
+
+
+def embedding_components(spark: SparkSession, sf_dir: str,
+                         tau: float = 0.2) -> DataFrame:
+    """canonical vector per embedding near-dup CLUSTER: connected
+    components over the cosine>=tau pair graph (the dedup step AFTER
+    pair generation — keep rows where vec_id == canonical_id). Reuses
+    the pointer-doubling min-label engine (``text._components``,
+    O(log diameter) rounds). Output (vec_id, canonical_id)."""
+    from s2spark.text import _components
+    pairs = embedding_cosine_dedup(spark, sf_dir, tau) \
+        .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+    vecs = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")).distinct()
+    return _components(vecs, pairs) \
+        .select(F.col("doc_id").alias("vec_id"), "canonical_id")
+
+
+def embedding_components_sql(tau: float = 0.2) -> str:
+    return f"""
+WITH RECURSIVE p AS MATERIALIZED (
+  SELECT v1, v2 FROM ({embedding_cosine_dedup_sql(tau).strip()})),
+edges AS MATERIALIZED (SELECT v1 AS a, v2 AS b FROM p
+                       UNION SELECT v2, v1 FROM p),
+vecs AS MATERIALIZED (SELECT DISTINCT vec_id FROM embeddings),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM vecs
+  UNION
+  SELECT reach.vec_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT vec_id, min(r) AS canonical_id FROM reach GROUP BY vec_id
+"""

@@ -336,7 +336,11 @@ def phash_neardup_pairs(images: DataFrame,
     assert 64 % n_bands == 0, "band width must divide 64"
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
-    sig = images.select("image_id", "phash")
+    # persist the (id, phash) projection: the band self-join has two
+    # scans of it, and without the persist each side re-runs the full
+    # upstream (payload decode at 100 TB; synth generation here). The
+    # projection is two thin columns — negligible at any scale.
+    sig = images.select("image_id", "phash").persist()
     parts = [
         sig.select(
             "image_id", "phash", F.lit(i).alias("band"),
