@@ -568,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _q_image_resize,
         "image_phash_neardup": _q_image_phash_neardup,
         "image_pip": _q_image_pip,
+        "image_components": _q_image_components,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "image_tile_stats_exact": _q_image_tile_stats_exact,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -649,6 +651,43 @@ def _q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation); recursive-CTE oracle."""
     from s2spark import ann as A
     return A.embedding_components(spark, sf_dir)
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of IVF vs exact brute force per query — the ANN
+    quality-evaluation op; pure composition of two oracled searches."""
+    from s2spark import ann as A
+    return A.ann_ivf_recall(spark, sf_dir)
+
+
+def _q_image_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canonical image per phash-near-dup cluster (components over the
+    banded hamming pair graph — the image-side dedup_components);
+    recursive-CTE oracle over the frozen fixture phashes."""
+    from s2spark import images as IM
+    return IM.image_components(IM.synth_images(spark, 500))
+
+
+def _image_components_sql() -> str:
+    golden_imgs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden", "geo_images.parquet")
+    return f"""
+WITH RECURSIVE g AS (SELECT image_id, phash
+                     FROM read_parquet('{golden_imgs}')),
+p AS MATERIALIZED (
+  SELECT a.image_id AS i1, b.image_id AS i2
+  FROM g a JOIN g b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+edges AS MATERIALIZED (SELECT i1 AS a, i2 AS b FROM p
+                       UNION SELECT i2, i1 FROM p),
+ids AS MATERIALIZED (SELECT image_id FROM g),
+reach(image_id, r) AS (
+  SELECT image_id, image_id FROM ids
+  UNION
+  SELECT reach.image_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT image_id, min(r) AS canonical_id FROM reach GROUP BY image_id
+"""
 
 
 def _q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,6 +1082,8 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         # columns, so its frozen output IS the value-hash oracle — a
         # codec / resize / phash / rFFT regression trips the driver gate
         "image_pip": _image_pip_sql(),
+        "image_components": _image_components_sql(),
+        "ann_ivf_recall": A.ann_ivf_recall_sql(),
         "image_phash_neardup": f"""
 WITH g AS (SELECT image_id, phash
            FROM read_parquet('{os.path.join(

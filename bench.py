@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "raster_vector", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "ann_bruteforce", "simhash", "quality_score", "image_verify",
     "pricing_summary", "image_phash_neardup", "event_sessions",
+    "image_pip",
 ]
 
 

@@ -422,3 +422,36 @@ reach(vec_id, r) AS (
 )
 SELECT vec_id, min(r) AS canonical_id FROM reach GROUP BY vec_id
 """
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str,
+                   k: int = TOP_K) -> DataFrame:
+    """recall@k of the IVF approximate search vs the exact brute-force
+    ranking — the evaluation op an ANN deployment ships with. Output
+    (query_id, n_hits, recall_at_k); pure composition of the two
+    already-oracled searches plus one equi-join and an agg."""
+    exact = ann_bruteforce_topk(spark, sf_dir, k)
+    approx = ann_ivf_topk(spark, sf_dir, k)
+    hits = exact.join(approx, ["query_id", "vec_id"]) \
+        .groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    q = exact.select("query_id").distinct()
+    return q.join(hits, "query_id", "left") \
+        .select("query_id",
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits")) \
+        .withColumn("recall_at_k",
+                    F.round(F.col("n_hits") / F.lit(float(k)), 6))
+
+
+def ann_ivf_recall_sql(k: int = TOP_K) -> str:
+    return f"""
+WITH exact AS ({ann_bruteforce_sql(k).strip()}),
+approx AS ({ann_ivf_sql(k).strip()}),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hits
+  FROM exact JOIN approx USING (query_id, vec_id)
+  GROUP BY exact.query_id),
+q AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id, COALESCE(hits.n_hits, 0) AS n_hits,
+       round(COALESCE(hits.n_hits, 0) / {float(k)!r}, 6) AS recall_at_k
+FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+"""

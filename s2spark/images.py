@@ -373,3 +373,19 @@ def image_tile_stats(images: DataFrame, level: int = 8) -> DataFrame:
         .groupBy(CC.token("tile_id").alias("tile_token")) \
         .agg(F.count("*").alias("n_images"),
              F.approx_count_distinct("phash").alias("phash_approx_distinct"))
+
+
+def image_components(images: DataFrame,
+                     max_hamming: int = PHASH_HAMMING_MAX) -> DataFrame:
+    """canonical image per phash-near-dup CLUSTER — the image-side
+    twin of ``text.dedup_components``: connected components over the
+    banded hamming pair graph via the shared pointer-doubling
+    min-label engine (string ids order lexicographically; the fixed-
+    width ``img%012d`` ids make that identical to numeric order).
+    Output (image_id, canonical_id)."""
+    from s2spark.text import _components
+    pairs = phash_neardup_pairs(images, max_hamming) \
+        .select(F.col("i1").alias("d1"), F.col("i2").alias("d2"))
+    ids = images.select(F.col("image_id").alias("doc_id")).distinct()
+    return _components(ids, pairs) \
+        .select(F.col("doc_id").alias("image_id"), "canonical_id")
