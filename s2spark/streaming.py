@@ -91,6 +91,20 @@ def run_sessions_to_memory(spark: SparkSession, events_dir: str,
     return spark.table(name)
 
 
+def dedup_events_stream(events: DataFrame,
+                        watermark: str = "1 hour") -> DataFrame:
+    """STREAMING exact dedup (the training-pipeline ingest guard):
+    drop replayed/duplicate event_ids arriving within the watermark
+    horizon via ``dropDuplicatesWithinWatermark`` — bounded state
+    (keys older than the watermark are evicted), exactly-once output
+    per key inside the horizon. On a batch DataFrame it degrades to
+    plain ``dropDuplicates`` (the stream≡batch test twin)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark) \
+            .dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
 def streaming_pip_counts(events: DataFrame, covering_rows: list,
                          params_by_region: dict) -> DataFrame:
     """STREAM-STATIC spatial join: streaming points against the static

@@ -143,3 +143,34 @@ def test_session_windows_stream_matches_batch_and_islands(spark, sf_dir,
          r["n_events"], r["sum_value"])
         for r in isl.collect())
     assert isl_set == expected
+
+
+def test_stream_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
+    """duplicate event_ids split across micro-batches (a replayed
+    file) are dropped by dropDuplicatesWithinWatermark: the sink holds
+    exactly the batch-distinct rows."""
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    stream_dir = str(tmp_path / "ev_dup")
+    os.makedirs(stream_dir)
+    one = src.coalesce(1)
+    one.write.mode("overwrite").parquet(str(tmp_path / "d0"))
+    import glob
+    import shutil as sh
+    f = glob.glob(str(tmp_path / "d0" / "*.parquet"))[0]
+    # same file twice = full replay in a later micro-batch
+    sh.copy(f, os.path.join(stream_dir, "part-0.parquet"))
+    sh.copy(f, os.path.join(stream_dir, "part-1.parquet"))
+
+    stream = spark.readStream.schema(ST.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", "1").parquet(stream_dir)
+    q = ST.dedup_events_stream(stream) \
+        .select("event_id") \
+        .writeStream.format("memory").queryName("dd_test") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table("dd_test").collect())
+    exp = sorted(r["event_id"]
+                 for r in ST.dedup_events_stream(src).select("event_id")
+                 .collect())
+    assert got == exp
+    assert len(got) == src.select("event_id").distinct().count()
