@@ -272,6 +272,30 @@ def ring_expand(cells: np.ndarray, lvl: int) -> np.ndarray:
     return np.unique(np.concatenate([cells, nbrs.ravel()]))
 
 
+def disk_expand_owned(owner: np.ndarray, cells: np.ndarray, lvl: int,
+                      steps: int):
+    """``steps`` Moore-ring expansions of many PER-OWNER cell sets in
+    one vectorized pass (the kNN multi-ring growth step, VERDICT r3
+    item 1): input parallel arrays (owner int64, cell uint64); output
+    the per-owner unique union of the cells and every cell within
+    Chebyshev distance <= ``steps`` of them, as sorted-by-owner
+    parallel arrays. Semantics = ``steps`` repeated
+    ``CellId.get_all_neighbors`` per owner (``ring_expand`` with an
+    ownership axis) — one numpy dedupe per step bounds growth at
+    O(perimeter), no per-row Python."""
+    owner = np.asarray(owner, dtype=np.int64)
+    cells = _as_u64(cells)
+    for _ in range(int(steps)):
+        nb = get_all_neighbors(cells, lvl)          # (N, 8) uint64
+        owner = np.concatenate([owner, np.repeat(owner, 8)])
+        cells = np.concatenate([cells, nb.ravel()])
+        pair = np.stack([owner.view(np.uint64), cells], axis=1)
+        pair = np.unique(pair, axis=0)
+        owner = pair[:, 0].view(np.int64)
+        cells = pair[:, 1].copy()
+    return owner, cells
+
+
 # ---------------------------------------------------------------------------
 # cell geometry (uv bound, vertices) — needed by region predicates/coverer
 # ---------------------------------------------------------------------------

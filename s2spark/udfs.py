@@ -57,6 +57,33 @@ def s2_neighbors_udf(lvl: int):
     return _nbrs
 
 
+def s2_disk_expand_udf(lvl: int, steps: int):
+    """UDF factory: expand each row's ARRAY of level-``lvl`` cell ids by
+    ``steps`` Moore rings in one batch (the kNN exponential-growth step
+    — VERDICT r3 item 1: one shuffle per round instead of one per
+    ring). Rows are flattened into (row, cell) parallel arrays, the
+    whole batch expands through ``cellops.disk_expand_owned`` (one
+    vectorized neighbors + dedupe pass per ring), and the result splits
+    back per row — no per-row Python in the expansion itself."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _disk(tiles: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(t) for t in tiles), dtype=np.int64,
+                           count=len(tiles))
+        if lens.sum() == 0:
+            return pd.Series([[] for _ in range(len(tiles))])
+        owner = np.repeat(np.arange(len(tiles), dtype=np.int64), lens)
+        cells = np.concatenate([np.asarray(t, dtype=np.int64)
+                                for t in tiles]).view(np.uint64)
+        owner, cells = cellops.disk_expand_owned(owner, cells, lvl, steps)
+        # owner comes back sorted (np.unique) -> split at boundaries
+        bounds = np.searchsorted(owner, np.arange(1, len(tiles)))
+        return pd.Series([c.tolist()
+                          for c in np.split(cells.view(np.int64), bounds)])
+
+    return _disk
+
+
 def s2_vertex_neighbors_udf(lvl: int):
     """UDF factory: array of the 3-4 vertex neighbors at the coarser
     level ``lvl`` (``CellId.get_vertex_neighbors``) — reference order
