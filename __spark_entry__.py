@@ -470,7 +470,12 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final groupBy reuse that partitioning. Timestamps compared by
     direct interval arithmetic on TIMESTAMP_NTZ (tz-independent,
     identical in DuckDB). Batch twin of streaming session windows
-    (SURVEY §2.10)."""
+    (SURVEY §2.10). Boundary matches ``session_window`` exactly
+    (ADVICE r3 investigated — empirically pinned in
+    tests/test_streaming.py::test_session_exact_gap_boundary): Spark
+    MERGES touching session windows, so an event at exactly
+    last + gap stays in the SAME session — hence strictly ``>`` on
+    the inactivity flag, not ``>=``."""
     from pyspark.sql import Window
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
         .select("user_id", "event_id", "value", "ts")
@@ -544,12 +549,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": T.minhash_lsh_pairs,
         "simhash": T.simhash,
         "simhash_pairs": T.simhash_pairs,
-        "lang_id": T.lang_id,
+        # r4 rotation (VERDICT r3 item 2): the driver certifies the
+        # FIRST 50 keys; audio/video/window/session queries swap in for
+        # four long-stable rows (lang_id, token_count, fingerprint,
+        # ann_lsh_buckets -> tail) so every query has had at least one
+        # driver CORRECTNESS row
+        "audio_features": _q_audio_features,
         "quality_score": T.quality_score,
-        "token_count": T.token_count,
-        "fingerprint": T.fingerprint,
+        "video_frames": _q_video_frames,
+        "events_window": _q_events_window,
         "ann_bruteforce": A.ann_bruteforce_topk,
-        "ann_lsh_buckets": A.lsh_buckets,
+        "event_sessions": _q_event_sessions,
         "ann_lsh": A.ann_lsh_topk,
         "embedding_similar_pairs": A.embedding_cosine_dedup,
         "embedding_components": _q_embedding_components,
@@ -571,15 +581,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_components": _q_image_components,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "image_tile_stats_exact": _q_image_tile_stats_exact,
-        "audio_features": _q_audio_features,
-        "video_frames": _q_video_frames,
         # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
         "top_tiles": _q_top_tiles,
         "tile_setops": _q_tile_setops,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
-        "events_window": _q_events_window,
-        "event_sessions": _q_event_sessions,
+        # --- tail (beyond the driver's 50-row cap): queries already
+        # driver-certified in earlier rounds, rotated out in r4 ---
+        "lang_id": T.lang_id,
+        "token_count": T.token_count,
+        "fingerprint": T.fingerprint,
+        "ann_lsh_buckets": A.lsh_buckets,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
@@ -843,6 +855,7 @@ FROM d WHERE dist2 <= ({thresh2!r})
 
 
 def oracle_sql() -> dict[str, str]:
+    from s2spark import images as _IM
     s = _SC
     cell_algebra = f"""
 WITH t AS ({_synth_base()})
@@ -1092,7 +1105,7 @@ WITH g AS (SELECT image_id, phash
 SELECT a.image_id AS i1, b.image_id AS i2,
        CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
 FROM g a JOIN g b ON a.image_id < b.image_id
-WHERE bit_count(xor(a.phash, b.phash)) <= {7}
+WHERE bit_count(xor(a.phash, b.phash)) <= {_IM.PHASH_HAMMING_MAX}
 """,
         "image_resize": _golden_select(
             "resized_images", "image_id, w, h, fmt, phash, caption"),

@@ -329,9 +329,13 @@ def phash_neardup_pairs(images: DataFrame,
     Same pigeonhole banding (scale path, no all-pairs): split the
     64-bit phash into ``max_hamming + 1`` bands; any pair at hamming
     <= max_hamming agrees exactly on at least one band, so the join
-    is a union of band-key EQUI-joins + exact ``bit_count`` filter.
+    is a union of band-key EQUI-joins + exact ``bit_count`` filter —
+    through :func:`text.banded_hamming_pairs`, so hot band keys (a
+    corpus of near-black images sharing a phash band) are salt-spread
+    across reducers with the output unchanged (VERDICT r3 item 3).
     Output (i1, i2, hamming), deduped across bands.
     """
+    from s2spark.text import banded_hamming_pairs
     n_bands = max_hamming + 1
     assert 64 % n_bands == 0, "band width must divide 64"
     band_bits = 64 // n_bands
@@ -339,28 +343,26 @@ def phash_neardup_pairs(images: DataFrame,
     # persist the (id, phash) projection: the band self-join has two
     # scans of it, and without the persist each side re-runs the full
     # upstream (payload decode at 100 TB; synth generation here). The
-    # projection is two thin columns — negligible at any scale.
+    # projection is two thin columns — negligible at any scale — and
+    # the cache is INTENTIONALLY left for the session: the returned
+    # DataFrame is lazy (an unpersist here would run before the caller
+    # consumes it), and Spark's cache manager dedupes by canonicalized
+    # plan, so repeat calls (image_components, a second bench pass)
+    # reuse ONE bounded entry rather than stacking new ones.
     sig = images.select("image_id", "phash").persist()
     parts = [
         sig.select(
-            "image_id", "phash", F.lit(i).alias("band"),
+            F.col("image_id").alias("id"), F.col("phash").alias("sig"),
+            F.lit(i).alias("band"),
             F.shiftright("phash", i * band_bits)
             .bitwiseAND(F.lit(mask)).alias("band_key"))
         for i in range(n_bands)]
     bands = parts[0]
     for p in parts[1:]:
         bands = bands.unionAll(p)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-    return a.join(b, (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.band_key") == F.col("b.band_key"))
-                  & (F.col("a.image_id") < F.col("b.image_id"))) \
-        .where(ham <= F.lit(max_hamming)) \
-        .select(F.col("a.image_id").alias("i1"),
-                F.col("b.image_id").alias("i2"),
-                ham.cast("int").alias("hamming")) \
-        .distinct()
+    return banded_hamming_pairs(bands, max_hamming) \
+        .select(F.col("d1").alias("i1"), F.col("d2").alias("i2"),
+                "hamming")
 
 
 def image_tile_stats(images: DataFrame, level: int = 8) -> DataFrame:

@@ -739,6 +739,55 @@ GROUP BY samp.pred_lang
 
 SIMHASH_HAMMING_MAX = 3
 
+BAND_SALT_TARGET = 256   # ids per (band, band_key) slice before salting
+BAND_MAX_SALT = 16
+
+
+def banded_hamming_pairs(bands: DataFrame, max_hamming: int,
+                         salt_target: int = BAND_SALT_TARGET,
+                         max_salt: int = BAND_MAX_SALT) -> DataFrame:
+    """salted pigeonhole-band self-join shared by ``simhash_pairs``
+    and ``images.phash_neardup_pairs`` (VERDICT r3 item 3: the hot-
+    band-key guard the engine already applies to shingles and LSH
+    embedding buckets, ``_ngram_jaccard_pairs`` pattern).
+
+    ``bands``: (id, sig, band, band_key) — one row per (signature,
+    band). A degenerate corpus (many near-black images, boilerplate
+    docs) can share one band_key across m rows, putting m² candidates
+    on a single reducer; the per-key count (cheap partial agg) assigns
+    a salt factor to oversized keys only — that table is tiny by
+    definition, so it broadcasts. Side a keeps its own salt
+    ``hash(id) % factor``, side b replicates to every salt, the join
+    key becomes (band, band_key, salt): every pair still meets exactly
+    once per shared band (a's one slice × b's replica), so the output
+    — and the brute-force oracle — is unchanged. Output (d1, d2,
+    hamming), deduped across bands.
+    """
+    hot = bands.groupBy("band", "band_key") \
+        .agg(F.count("*").alias("df_n")) \
+        .where(F.col("df_n") > salt_target) \
+        .select("band", "band_key", F.least(
+            F.ceil(F.col("df_n") / F.lit(salt_target)),
+            F.lit(max_salt)).cast("int").alias("salt_factor"))
+    bf = bands.join(F.broadcast(hot), ["band", "band_key"], "left") \
+        .withColumn("salt_factor", F.coalesce("salt_factor", F.lit(1)))
+    a = bf.withColumn(
+        "salt", F.pmod(F.hash("id"), F.col("salt_factor"))).alias("a")
+    b = bf.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0),
+                                     F.col("salt_factor") - F.lit(1)))) \
+        .alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return a.join(b, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
+                  & (F.col("a.salt") == F.col("b.salt"))
+                  & (F.col("a.id") < F.col("b.id"))) \
+        .where(ham <= F.lit(max_hamming)) \
+        .select(F.col("a.id").alias("d1"),
+                F.col("b.id").alias("d2"),
+                ham.cast("int").alias("hamming")) \
+        .distinct()
+
 
 def simhash_pairs(spark: SparkSession, sf_dir: str,
                   max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
@@ -752,6 +801,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     ``bit_count(xor)`` filter then removes false positives. Output is
     identical to the naive all-pairs theta join (which planned as a
     BroadcastNestedLoop, O(n²) — tests/test_plans.py pins its absence).
+    The self-join runs through :func:`banded_hamming_pairs`, so hot
+    band keys are salt-spread (output unchanged).
     """
     sig = simhash(spark, sf_dir)
     n_bands = max_hamming + 1
@@ -760,24 +811,15 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     mask = (1 << band_bits) - 1
     parts = [
         sig.select(
-            "doc_id", "simhash", F.lit(i).alias("band"),
+            F.col("doc_id").alias("id"), F.col("simhash").alias("sig"),
+            F.lit(i).alias("band"),
             F.shiftright("simhash", i * band_bits)
             .bitwiseAND(F.lit(mask)).alias("band_key"))
         for i in range(n_bands)]
     bands = parts[0]
     for p in parts[1:]:
         bands = bands.unionAll(p)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return a.join(b, (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.band_key") == F.col("b.band_key"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id"))) \
-        .where(ham <= F.lit(max_hamming)) \
-        .select(F.col("a.doc_id").alias("d1"),
-                F.col("b.doc_id").alias("d2"),
-                ham.cast("int").alias("hamming")) \
-        .distinct()
+    return banded_hamming_pairs(bands, max_hamming)
 
 
 def simhash_pairs_sql(max_hamming: int = SIMHASH_HAMMING_MAX) -> str:

@@ -145,6 +145,45 @@ def test_session_windows_stream_matches_batch_and_islands(spark, sf_dir,
     assert isl_set == expected
 
 
+def test_session_exact_gap_boundary(spark, tmp_path):
+    """an event at EXACTLY last + gap stays in the SAME session in
+    BOTH twins: Spark's session_window MERGES touching windows
+    (empirically — the [t, t+gap) window of the new event starts at
+    the previous window's end and the two coalesce), so the
+    gaps-and-islands flag correctly uses strictly > gap. Pinned with
+    synthetic data so the three-way equivalence no longer depends on
+    the sf fixture having no exact-gap pairs (ADVICE r3)."""
+    import datetime
+
+    import __spark_entry__ as E
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: second event exactly GAP later -> windows touch and
+        # MERGE -> ONE session
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + E.SESSION_GAP_MIN * m, 1, "a", 2.0, "{}"),
+        # user 2: second event one minute PAST the gap -> TWO sessions
+        (3, t0, 2, "a", 3.0, "{}"),
+        (4, t0 + (E.SESSION_GAP_MIN + 1) * m, 2, "a", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    sf_dir = str(tmp_path / "boundary_sf")
+    os.makedirs(sf_dir)
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    isl = {(r["user_id"], r["session_id"]): r["n_events"]
+           for r in E.queries()["event_sessions"](spark, sf_dir).collect()}
+    assert isl == {(1, 1): 2, (2, 1): 1, (2, 2): 1}
+
+    sw = sorted((r["user_id"], r["n_events"]) for r in ST.user_sessions(
+        spark.read.parquet(f"{sf_dir}/events.parquet")).collect())
+    assert sw == [(1, 2), (2, 1), (2, 1)]
+
+
 def test_stream_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
     """duplicate event_ids split across micro-batches (a replayed
     file) are dropped by dropDuplicatesWithinWatermark: the sink holds
