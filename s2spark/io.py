@@ -147,6 +147,49 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+# ---------------------------------------------------------------------------
+# Hilbert-clustered layout: covering-range scans prune row groups/files
+# ---------------------------------------------------------------------------
+
+CELL_SORT_COL = "cell_sort"
+
+
+def write_clustered(df: DataFrame, path: str, cell_col: str = "cell_id",
+                    num_files: int = 16) -> None:
+    """write a dataset Hilbert-CLUSTERED on its cell id (SURVEY §4.3):
+    a materialized ``cell_sort`` column (uint64-order ``sortable``,
+    CLAUDE.md signedness discipline) is range-partitioned across files
+    and sorted within each, so every file and parquet row group covers
+    a narrow contiguous Hilbert interval. Because Hilbert order
+    preserves spatial locality, a covering-range predicate then reads
+    only the row groups whose min/max overlap the covering — the
+    difference between scanning a tile and scanning the planet at
+    100 TB. The column is STORED (not recomputed) so range predicates
+    are plain attribute comparisons that push down to the parquet
+    reader (and, on Iceberg/Delta, to file-level skipping).
+    Pruning is pinned empirically in tests/test_storage_pruning.py."""
+    df.withColumn(CELL_SORT_COL, CC.sortable(cell_col)) \
+        .repartitionByRange(num_files, CELL_SORT_COL) \
+        .sortWithinPartitions(CELL_SORT_COL) \
+        .write.mode("overwrite").parquet(path)
+
+
+def scan_cell_range(spark: SparkSession, path: str,
+                    cell_lo: int, cell_hi: int) -> DataFrame:
+    """scan a clustered dataset for ids in the uint64-inclusive range
+    [cell_lo, cell_hi] (e.g. a covering cell's range_min..range_max).
+    The BETWEEN lands in the scan's PushedFilters -> row-group min/max
+    pruning on the sorted layout."""
+    def _sortable_scalar(x: int) -> int:
+        u = (int(x) ^ (1 << 63)) & ((1 << 64) - 1)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    return spark.read.parquet(path) \
+        .where(F.col(CELL_SORT_COL).between(
+            F.lit(_sortable_scalar(cell_lo)),
+            F.lit(_sortable_scalar(cell_hi))))
+
+
 def result_fingerprint(df: DataFrame) -> int:
     """order-insensitive content hash of a DataFrame (resume tests:
     interrupted+resumed output must fingerprint-equal a clean run)."""

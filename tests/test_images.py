@@ -127,3 +127,26 @@ def test_resize_images_pipeline(spark):
         assert (arr == IM.resize_nn(ref, 16, 16)).all()
         assert r["phash"] == IM.phash64(arr)
         assert r["caption"].startswith(f"caption {idx} ")
+
+
+def test_image_tile_stats_approx_tracks_exact(spark):
+    """regression gate for the rows-only approx query (VERDICT r3
+    item 6): image_tile_stats is the approx_count_distinct SCALE twin
+    of the hash-oracled image_tile_stats_exact — per-tile counts must
+    be identical and the HLL phash estimate must stay within the
+    configured rsd band of the exact distinct count."""
+    import __spark_entry__ as E
+
+    approx = {r["tile_token"]: (r["n_images"], r["phash_approx_distinct"])
+              for r in E.queries()["image_tile_stats"](
+                  spark, "/root/testdata/sf0.001").collect()}
+    exact = {r["tile_token"]: (r["n_images"], r["phash_distinct"])
+             for r in E.queries()["image_tile_stats_exact"](
+                 spark, "/root/testdata/sf0.001").collect()}
+    assert set(approx) == set(exact)
+    for tok, (n_ex, d_ex) in exact.items():
+        n_ap, d_ap = approx[tok]
+        assert n_ap == n_ex
+        # default rsd 0.05; allow 3 sigma plus integer slack
+        assert abs(d_ap - d_ex) <= max(2, int(0.15 * d_ex)), (
+            tok, d_ap, d_ex)
