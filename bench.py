@@ -132,11 +132,14 @@ def run_queries(spark) -> dict[str, float]:
     # spawn Python workers / warm imports before timing anything
     qs["tile_assign"](spark, SF_DIR).limit(1000).count()
     times: dict[str, float] = {}
-    # two passes, keep the min per query: single-shot timings at the
+    # three passes, keep the min per query: single-shot timings at the
     # 0.4–4 s scale are fixed-overhead/noise-dominated and made the
     # r1→r2 per-query comparison meaningless (uniform ±7–31% drift);
-    # min-of-2 recovers the steady state at +1 suite pass cost
-    n_passes = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
+    # min-of-N recovers the steady state at +N-1 suite pass cost
+    # (raised 2→3 in r4 per VERDICT item 5: pip_salted/pip_planned
+    # drifted +20% in r3 with unchanged plans — more reps to separate
+    # noise from regression)
+    n_passes = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
     for _ in range(n_passes):
         for name in BENCH_QUERIES:
             t0 = time.time()

@@ -105,6 +105,52 @@ def dedup_events_stream(events: DataFrame,
     return events.dropDuplicates(["event_id"])
 
 
+CORRELATE_WINDOW_MIN = 5   # pair events within +-5 minutes
+
+
+def correlated_event_pairs(events: DataFrame,
+                           window_min: int = CORRELATE_WINDOW_MIN
+                           ) -> DataFrame:
+    """STREAM-STREAM interval self-JOIN (SURVEY §2.10 widened in r4):
+    pairs of events by the same user within ``window_min`` minutes of
+    each other — the sessionless correlation primitive (click→
+    purchase attribution, retry detection, co-occurring signals).
+
+    On a streaming DataFrame both sides carry event-time watermarks
+    and the join condition bounds ``ts2`` to a closed interval around
+    ``ts1``, which is exactly what Spark requires to run a
+    stream-stream inner join with BOUNDED state: each side's rows are
+    dropped from the join state once the watermark passes their
+    interval. On batch the identical expression tree plans as a hash
+    equi-join on user_id with a BETWEEN residual — the stream≡batch
+    twin (DuckDB-oracled via ``event_pairs``). Output (user_id, e1,
+    e2) with e1 < e2, each qualifying pair exactly once.
+    """
+    iv = F.expr(f"INTERVAL {window_min} MINUTES")
+    a = events.select("user_id", F.col("event_id").alias("e1"),
+                      F.col("ts").alias("ts1"))
+    b = events.select(F.col("user_id").alias("user_id_b"),
+                      F.col("event_id").alias("e2"),
+                      F.col("ts").alias("ts2"))
+    if events.isStreaming:
+        a = a.withWatermark("ts1", f"{window_min} minutes")
+        b = b.withWatermark("ts2", f"{window_min} minutes")
+    cond = ((a["user_id"] == b["user_id_b"])
+            & (F.col("e1") < F.col("e2"))
+            & (F.col("ts2") >= F.col("ts1") - iv)
+            & (F.col("ts2") <= F.col("ts1") + iv))
+    return a.join(b, cond).select("user_id", "e1", "e2")
+
+
+def run_event_pairs_to_memory(spark: SparkSession, events_dir: str,
+                              name: str = "event_pairs") -> DataFrame:
+    q = correlated_event_pairs(read_events_stream(spark, events_dir)) \
+        .writeStream.format("memory").queryName(name) \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_pip_counts(events: DataFrame, covering_rows: list,
                          params_by_region: dict) -> DataFrame:
     """STREAM-STATIC spatial join: streaming points against the static

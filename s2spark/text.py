@@ -522,6 +522,104 @@ FROM r GROUP BY pred_lang
 """
 
 
+REPETITION_TAU = 0.2   # keep docs whose duplicate-shingle mass <= 20%
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc-INTERNAL repetition quality filter (the Gopher/C4-style
+    "duplicate n-gram fraction" curation signal): per doc, the total
+    vs distinct 3-gram shingle counts and the repeated-shingle mass
+    ``1 - distinct/total``; high-repetition docs (boilerplate, keyword
+    stuffing, generation loops) are flagged. Distinct-token fraction
+    rides along. Pure JVM array expressions — a projection, scales as
+    a map; single rounding per ratio (oracle float discipline).
+
+    Output: (doc_id, n_sh, n_sh_distinct, rep_ratio, n_toks,
+    n_toks_distinct, keep).
+    """
+    d = with_tokens(_docs(spark, sf_dir)).where(F.size("toks") >= SHINGLE)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - F.lit(SHINGLE)),
+        lambda i: F.concat_ws(" ", F.col("toks")[i],
+                              F.col("toks")[i + F.lit(1)],
+                              F.col("toks")[i + F.lit(2)]))
+    d = d.withColumn("n_sh", (F.size("toks") - F.lit(SHINGLE - 1))
+                     .cast("long")) \
+        .withColumn("n_sh_distinct",
+                    F.size(F.array_distinct(sh)).cast("long")) \
+        .withColumn("n_toks", F.size("toks").cast("long")) \
+        .withColumn("n_toks_distinct",
+                    F.size(F.array_distinct("toks")).cast("long"))
+    rep = F.round(F.lit(1.0) - F.col("n_sh_distinct") / F.col("n_sh"), 6)
+    return d.select("doc_id", "n_sh", "n_sh_distinct",
+                    rep.alias("rep_ratio"), "n_toks", "n_toks_distinct",
+                    (rep <= F.lit(REPETITION_TAU)).alias("keep"))
+
+
+REPETITION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+  WHERE len({TOKS_SQL}) >= {SHINGLE}),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) - {SHINGLE - 1} AS BIGINT) AS n_sh,
+         CAST(len(list_distinct(
+             [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+              for i in range(1, len(toks) - {SHINGLE - 2})]))
+           AS BIGINT) AS n_sh_distinct,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_toks_distinct
+  FROM d)
+SELECT doc_id, n_sh, n_sh_distinct,
+       round(1.0 - n_sh_distinct / n_sh, 6) AS rep_ratio,
+       n_toks, n_toks_distinct,
+       round(1.0 - n_sh_distinct / n_sh, 6) <= {REPETITION_TAU}
+           AS keep
+FROM s
+"""
+
+
+DECONTAM_EVAL_MOD = 127   # eval split: doc_id % 127 == 0 (~0.8%)
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training-corpus DECONTAMINATION against an eval set — the
+    benchmark-leakage gate every LLM data pipeline runs before
+    training: a training doc is contaminated if it shares any 3-token
+    shingle with an eval-set document. The eval split here is the
+    deterministic ``doc_id % {mod} == 0`` slice of the same corpus
+    (no external data); in production it is the benchmark suite.
+
+    Scale shape: the eval shingle set is tiny by definition, so it
+    BROADCASTS; the corpus side streams through a broadcast hash join
+    + per-doc agg — no all-pairs, no big-side shuffle except the final
+    groupBy(doc_id). Output: (doc_id, n_eval_hits, contaminated) for
+    every non-eval doc with >= 1 distinct shingle hit, i.e. the block
+    list (an anti-join of the corpus against this result is the clean
+    train set).
+    """
+    docs = _docs(spark, sf_dir)
+    is_eval = F.pmod("doc_id", F.lit(DECONTAM_EVAL_MOD)) == 0
+    eval_sh = shingles_df(docs.where(is_eval)) \
+        .select("sh").distinct()
+    train_sh = shingles_df(docs.where(~is_eval))
+    return train_sh.join(F.broadcast(eval_sh), "sh") \
+        .groupBy("doc_id") \
+        .agg(F.count("*").alias("n_eval_hits")) \
+        .withColumn("contaminated", F.lit(True))
+
+
+DECONTAM_SQL = f"""
+WITH sh AS ({SHINGLES_SQL.strip()}),
+ev AS (SELECT DISTINCT sh.sh FROM sh
+       WHERE sh.doc_id % {DECONTAM_EVAL_MOD} = 0)
+SELECT sh.doc_id, count(*) AS n_eval_hits, TRUE AS contaminated
+FROM sh JOIN ev ON sh.sh = ev.sh
+WHERE sh.doc_id % {DECONTAM_EVAL_MOD} != 0
+GROUP BY sh.doc_id
+"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """document fingerprint: 60-bit content hash + first-shingle hash
     (a cheap rolling-prefix signature)."""
@@ -691,6 +789,48 @@ reach(doc_id, r) AS (
   SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
 )
 SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE canonical selection: production dedup keeps the
+    BEST document of each near-dup cluster, not the smallest id —
+    min-id canonicalization silently prefers whichever crawl happened
+    first. Composition of two oracled stages: cluster labels from
+    :func:`dedup_components`, per-doc quality from
+    :func:`quality_score`; one window per cluster picks the max-
+    quality doc (doc_id ascending tie-break, deterministic).
+
+    Scale shape: the components join + ONE window shuffle on the
+    cluster key (cluster sizes are near-dup-bounded, no skew blowup).
+    Output: (doc_id, canonical_id, best_doc_id, keep).
+    """
+    from pyspark.sql import Window
+
+    comp = dedup_components(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("canonical_id") \
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+    return j.withColumn("best_doc_id",
+                        F.first("doc_id").over(w).cast("long")) \
+        .select("doc_id", "canonical_id", "best_doc_id",
+                (F.col("doc_id") == F.col("best_doc_id")).alias("keep"))
+
+
+def dedup_keep_best_sql() -> str:
+    return f"""
+WITH comp AS MATERIALIZED ({dedup_components_sql().strip()}),
+q AS ({quality_score_sql().strip()})
+SELECT comp.doc_id, comp.canonical_id,
+       CAST(first_value(comp.doc_id) OVER (
+           PARTITION BY comp.canonical_id
+           ORDER BY q.quality DESC, comp.doc_id ASC) AS BIGINT)
+           AS best_doc_id,
+       comp.doc_id = first_value(comp.doc_id) OVER (
+           PARTITION BY comp.canonical_id
+           ORDER BY q.quality DESC, comp.doc_id ASC) AS keep
+FROM comp JOIN q ON comp.doc_id = q.doc_id
 """
 
 

@@ -43,6 +43,7 @@ def main() -> None:
         only = set(sys.argv[2:])
         qs = {k: v for k, v in qs.items() if k in only}
     n_pass = n_rowsonly = n_fail = 0
+    artifact: dict[str, dict] = {}
     for name in qs:
         t0 = time.time()
         try:
@@ -50,11 +51,14 @@ def main() -> None:
             srows = sdf.collect()
         except Exception as exc:  # noqa: BLE001 — report, don't abort
             print(f"FAIL  {name}: spark raised {exc!r:.120}")
+            artifact[name] = {"status": "FAIL", "err": repr(exc)[:200]}
             n_fail += 1
             continue
         if name not in osql:
             print(f"rows  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time() - t0:.1f}s]")
+            artifact[name] = {"status": "rows_only",
+                              "spark_rows": len(srows)}
             n_rowsonly += 1
             continue
         try:
@@ -63,6 +67,8 @@ def main() -> None:
             orows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: oracle raised {exc!r:.120}")
+            artifact[name] = {"status": "FAIL",
+                              "err": "oracle: " + repr(exc)[:200]}
             n_fail += 1
             continue
         cols = sorted(sdf.columns)
@@ -79,8 +85,23 @@ def main() -> None:
               f"[{time.time() - t0:.1f}s]")
         n_pass += ok
         n_fail += not ok
+        artifact[name] = {"status": "PASS" if ok else "FAIL",
+                          "rows_match": len(srows) == len(orows),
+                          "schema_match": schema_ok,
+                          "values_match": sv == ov,
+                          "spark_rows": len(srows),
+                          "oracle_rows": len(orows)}
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} FAIL "
           f"of {len(qs)}")
+    out = os.environ.get("S2_CORRECTNESS_OUT")
+    if out:
+        import json
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": SF_DIR, "n_queries": len(qs),
+                       "n_pass": n_pass, "n_rows_only": n_rowsonly,
+                       "n_fail": n_fail, "queries": artifact}, fh,
+                      indent=1)
+        print(f"artifact -> {out}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 

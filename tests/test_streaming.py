@@ -213,3 +213,24 @@ def test_stream_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
                  .collect())
     assert got == exp
     assert len(got) == src.select("event_id").distinct().count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir,
+                                                   tmp_path):
+    """STREAM-STREAM interval self-join ≡ batch: same-user event pairs
+    within ±5 min, computed by the bounded-state streaming join, must
+    equal the batch hash-join + BETWEEN twin (the DuckDB-oracled
+    event_pairs query)."""
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = str(tmp_path / "ev_pairs")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
+
+    batch = ST.correlated_event_pairs(spark.read.parquet(src))
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert len(expected) > 0
+
+    got_df = ST.run_event_pairs_to_memory(spark, stream_dir,
+                                          name="ep_test")
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == expected
