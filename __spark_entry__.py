@@ -593,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "ann_ivf_buckets": _q_ann_ivf_buckets,
         "ann_ivf": _q_ann_ivf,
+        "pq_codes": _q_pq_codes,
+        "ann_ivfpq": _q_ann_ivfpq,
         # --- image payload pipeline (SURVEY §2.9; rows-only: bytes
         # are engine-generated, codecs not SQL-expressible) ---
         "image_verify": _q_image_verify,
@@ -681,6 +683,22 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest inverted-file cells (the brief's IVF scale path)."""
     from s2spark import ann as A
     return A.ann_ivf_topk(spark, sf_dir)
+
+
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """product-quantization encoding: 8 sub-codebook argmin codes per
+    embedding packed into one int64 — the compressed column an IVF-PQ
+    index stores (4 bits/subspace instead of 8 floats)."""
+    from s2spark import ann as A
+    return A.pq_codes(spark, sf_dir)
+
+
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse IVF probe + asymmetric-distance
+    ranking over the PQ codes (the production ANN scale shape: the
+    candidate scan never touches full vectors)."""
+    from s2spark import ann as A
+    return A.ann_ivfpq_topk(spark, sf_dir)
 
 
 def _q_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1176,8 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_IM.PHASH_HAMMING_MAX}
         "ann_lsh": A.ann_lsh_sql(),
         "ann_ivf_buckets": A.ivf_buckets_sql(),
         "ann_ivf": A.ann_ivf_sql(),
+        "pq_codes": A.pq_codes_sql(),
+        "ann_ivfpq": A.ann_ivfpq_sql(),
         "dedup_components": T.dedup_components_sql(),
         "event_pairs": _event_pairs_sql(),
         "repetition_ratio": T.REPETITION_SQL,

@@ -424,6 +424,198 @@ SELECT vec_id, min(r) AS canonical_id FROM reach GROUP BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Product Quantization (IVF-PQ): compress vectors to M 4-bit codes;
+# rank candidates by asymmetric distance (query LUT x codes) — at
+# 100 TB the candidate scan touches 4 BYTES per vector, not 256
+# ---------------------------------------------------------------------------
+
+PQ_M = 8           # subspaces (DIM 64 -> 8 dims each)
+PQ_SUB = DIM // PQ_M
+PQ_K = 16          # centroids per sub-codebook (4-bit codes)
+
+
+def pq_codebooks() -> list[list[list[float]]]:
+    """deterministic sub-codebooks [m][c][i] — LCG floats scaled to
+    the embedding range and rounded to 9 decimals so the SAME literal
+    is inlined into Spark (F.lit) and DuckDB (repr); no training step,
+    reproducible everywhere."""
+    out = []
+    state = 424242424
+    for _ in range(PQ_M):
+        cb = []
+        for _ in range(PQ_K):
+            row = []
+            for _ in range(PQ_SUB):
+                state = (_LCG_A * state + _LCG_C) % _LCG_M
+                row.append(round((state / _LCG_M - 0.5) * 0.6, 9))
+            cb.append(row)
+        out.append(cb)
+    return out
+
+
+def _pq_subdist(cb_row, sub):
+    """||sub - c||² as an ordered left fold (float-bit-identical to
+    the oracle's left-associated 8-term sum)."""
+    return F.aggregate(
+        F.zip_with(cb_row, sub,
+                   lambda x, y: (x - y.cast("double"))
+                   * (x - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_codes_col():
+    """array<int> of the PQ_M argmin sub-codebook indices for
+    ``embedding`` (ties -> lowest index, via the negated-index struct
+    trick shared with the IVF cell argmax)."""
+    cbs = pq_codebooks()
+    cols = []
+    for m, cb in enumerate(cbs):
+        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+        structs = F.array(*[
+            F.struct((-_pq_subdist(F.lit(cb[c]), sub)).alias("nd"),
+                     F.lit(-c).alias("nc"))
+            for c in range(PQ_K)])
+        cols.append((-F.array_max(structs)["nc"]).cast("int"))
+    return F.array(*cols)
+
+
+def _pq_sub_sql(col: str, m: int) -> str:
+    """per-subspace code (argmin distance) in DuckDB — same struct
+    list_max trick, left-associated distance terms."""
+    cb = pq_codebooks()[m]
+    args = []
+    for c in range(PQ_K):
+        d = " + ".join(
+            f"(({w!r}) - CAST({col}[{m * PQ_SUB + i + 1}] AS DOUBLE))"
+            f" * (({w!r}) - CAST({col}[{m * PQ_SUB + i + 1}] AS DOUBLE))"
+            for i, w in enumerate(cb[c]))
+        args.append(f"{{'nd': -({d}), 'nc': {-c}}}")
+    return f"CAST(-(list_max([{', '.join(args)}]).nc) AS INT)"
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: (vec_id, pq_code) with the {PQ_M} 4-bit codes
+    packed into ONE int64 — the compressed representation the
+    inverted lists store (a projection; scales as a map)."""
+    codes = _pq_codes_col()
+    packed = F.aggregate(
+        F.transform(codes, lambda c, i: c.cast("long")
+                    * F.pow(F.lit(2), i * F.lit(4)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return _emb(spark, sf_dir).select("vec_id",
+                                      packed.alias("pq_code"))
+
+
+def pq_codes_sql() -> str:
+    terms = " + ".join(
+        f"CAST({_pq_sub_sql('embedding', m)} AS BIGINT) * {1 << (4 * m)}"
+        for m in range(PQ_M))
+    return f"SELECT vec_id, ({terms}) AS pq_code FROM embeddings"
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
+                   k: int = TOP_K, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-PQ approximate top-k — the production ANN shape: coarse
+    IVF probe picks candidate cells, then candidates are ranked by
+    ASYMMETRIC distance (per-query lookup table × stored 4-bit codes)
+    WITHOUT touching the full database vectors. Scale shape: the
+    query side (LUT included) broadcasts; the candidate scan reads
+    (vec_id, ivf_cell, codes) — bytes per vector, not the embedding
+    column. Output (query_id, vec_id, rnk) by (approx dist asc,
+    vec_id)."""
+    spark_emb = _emb(spark, sf_dir)
+    db = spark_emb.select("vec_id", _ivf_cell_col().alias("ivf_cell"),
+                          _pq_codes_col().alias("codes"))
+    cbs = F.lit(pq_codebooks())
+    q = spark_emb.where(F.col("vec_id") < N_QUERIES)
+    # per-query LUT[m][c] = ||sub_m(q) - cb[m][c]||², ordered folds
+    lut = F.transform(
+        cbs,
+        lambda cb_m, m: F.transform(
+            cb_m,
+            lambda c: F.aggregate(
+                F.zip_with(c, F.slice("embedding",
+                                      m * F.lit(PQ_SUB) + 1, PQ_SUB),
+                           lambda x, y: (x - y.cast("double"))
+                           * (x - y.cast("double"))),
+                F.lit(0.0), lambda acc, v: acc + v)))
+    probes = F.slice(F.reverse(F.array_sort(_ivf_dot_structs())),
+                     1, nprobe)
+    q = q.select(F.col("vec_id").alias("query_id"),
+                 lut.alias("lut"),
+                 F.explode(probes).alias("p")) \
+        .select("query_id", "lut", (-F.col("p.nc")).alias("probe"))
+    d = db.join(F.broadcast(q),
+                (F.col("ivf_cell") == F.col("probe"))
+                & (F.col("vec_id") != F.col("query_id")))
+    # ADC: left fold over m of LUT[m][code_m] — ordered, so the float
+    # total is bit-identical to the oracle's l[1]+l[2]+...+l[M]
+    adc = F.aggregate(
+        F.zip_with(F.col("lut"), F.col("codes"),
+                   lambda l, c: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    d = d.withColumn("adist", adc)
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return d.withColumn("rnk", F.row_number().over(w)) \
+        .where(F.col("rnk") <= k) \
+        .select("query_id", "vec_id", F.col("rnk").cast("int").alias("rnk"))
+
+
+def ann_ivfpq_sql(k: int = TOP_K, nprobe: int = IVF_NPROBE) -> str:
+    cbs = pq_codebooks()
+    cents = ivf_centroids()
+    # probe cells per query (same rule as ann_ivf_sql)
+    dots = []
+    for ci, c in enumerate(cents):
+        d = " + ".join(f"({w!r}) * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+                       for i, w in enumerate(c))
+        dots.append(f"SELECT e.vec_id AS query_id, {ci} AS c, ({d}) AS d "
+                    f"FROM embeddings e WHERE e.vec_id < {N_QUERIES}")
+    # per-candidate, per-subspace code (reuses the pq sub argmin)
+    code_cols = ", ".join(f"{_pq_sub_sql('embedding', m)} AS c{m}"
+                          for m in range(PQ_M))
+    # per-query, per-subspace LUT entry selected by the candidate's
+    # code: nested list literal indexed by code (1-based)
+    lut_terms = []
+    for m in range(PQ_M):
+        rows = []
+        for c in range(PQ_K):
+            d = " + ".join(
+                f"(({w!r}) - CAST(q.embedding[{m * PQ_SUB + i + 1}]"
+                f" AS DOUBLE)) * (({w!r}) -"
+                f" CAST(q.embedding[{m * PQ_SUB + i + 1}] AS DOUBLE))"
+                for i, w in enumerate(cbs[m][c]))
+            rows.append(f"({d})")
+        lut_terms.append(f"([{', '.join(rows)}])[co.c{m} + 1]")
+    # left-associated chain == Spark's ordered fold over m
+    adc = " + ".join(lut_terms)
+    return f"""
+WITH b AS ({ivf_buckets_sql()}),
+co AS (SELECT vec_id, {code_cols} FROM embeddings),
+cd AS ({' UNION ALL '.join(dots)}),
+pr AS (
+  SELECT query_id, c AS probe
+  FROM (SELECT query_id, c,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d DESC, c) AS rk
+        FROM cd)
+  WHERE rk <= {nprobe}),
+d AS (
+  SELECT q.vec_id AS query_id, co.vec_id, ({adc}) AS adist
+  FROM embeddings q
+  JOIN pr ON pr.query_id = q.vec_id
+  JOIN b ON b.ivf_cell = pr.probe
+  JOIN co ON co.vec_id = b.vec_id AND co.vec_id != q.vec_id),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rnk
+  FROM d)
+SELECT query_id, vec_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= {k}
+"""
+
+
 def ann_ivf_recall(spark: SparkSession, sf_dir: str,
                    k: int = TOP_K) -> DataFrame:
     """recall@k of the IVF approximate search vs the exact brute-force
