@@ -604,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pip": _q_image_pip,
         "image_components": _q_image_components,
         "ann_ivf_recall": _q_ann_ivf_recall,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "image_tile_stats_exact": _q_image_tile_stats_exact,
         # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
         "top_tiles": _q_top_tiles,
@@ -714,6 +715,13 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-evaluation op; pure composition of two oracled searches."""
     from s2spark import ann as A
     return A.ann_ivf_recall(spark, sf_dir)
+
+
+def _q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of IVF-PQ (probe + quantization loss) vs exact brute
+    force — the end-to-end quality gate of the compressed index."""
+    from s2spark import ann as A
+    return A.ann_ivfpq_recall(spark, sf_dir)
 
 
 def _q_image_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,6 +1149,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         "image_pip": _image_pip_sql(),
         "image_components": _image_components_sql(),
         "ann_ivf_recall": A.ann_ivf_recall_sql(),
+        "ann_ivfpq_recall": A.ann_ivfpq_recall_sql(),
         "image_phash_neardup": f"""
 WITH g AS (SELECT image_id, phash
            FROM read_parquet('{os.path.join(

@@ -622,8 +622,13 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str,
     ranking — the evaluation op an ANN deployment ships with. Output
     (query_id, n_hits, recall_at_k); pure composition of the two
     already-oracled searches plus one equi-join and an agg."""
+    return _recall_vs_bruteforce(spark, sf_dir,
+                                 ann_ivf_topk(spark, sf_dir, k), k)
+
+
+def _recall_vs_bruteforce(spark: SparkSession, sf_dir: str,
+                          approx: DataFrame, k: int) -> DataFrame:
     exact = ann_bruteforce_topk(spark, sf_dir, k)
-    approx = ann_ivf_topk(spark, sf_dir, k)
     hits = exact.join(approx, ["query_id", "vec_id"]) \
         .groupBy("query_id").agg(F.count("*").alias("n_hits"))
     q = exact.select("query_id").distinct()
@@ -632,6 +637,30 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str,
                 F.coalesce("n_hits", F.lit(0)).alias("n_hits")) \
         .withColumn("recall_at_k",
                     F.round(F.col("n_hits") / F.lit(float(k)), 6))
+
+
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str,
+                     k: int = TOP_K) -> DataFrame:
+    """recall@k of IVF-PQ (quantization + probe loss together) vs the
+    exact ranking — the end-to-end quality gate of the compressed
+    index. Same composition shape as :func:`ann_ivf_recall`."""
+    return _recall_vs_bruteforce(spark, sf_dir,
+                                 ann_ivfpq_topk(spark, sf_dir, k), k)
+
+
+def ann_ivfpq_recall_sql(k: int = TOP_K) -> str:
+    return f"""
+WITH exact AS ({ann_bruteforce_sql(k).strip()}),
+approx AS ({ann_ivfpq_sql(k).strip()}),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hits
+  FROM exact JOIN approx USING (query_id, vec_id)
+  GROUP BY exact.query_id),
+q AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id, COALESCE(hits.n_hits, 0) AS n_hits,
+       round(COALESCE(hits.n_hits, 0) / {float(k)!r}, 6) AS recall_at_k
+FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+"""
 
 
 def ann_ivf_recall_sql(k: int = TOP_K) -> str:
