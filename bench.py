@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "ann_bruteforce", "simhash", "quality_score", "image_verify",
     "pricing_summary", "image_phash_neardup", "event_sessions",
     "image_pip",
+    # r4 additions
+    "ann_ivfpq", "decontaminate", "event_pairs", "dedup_keep_best",
 ]
 
 

@@ -17,6 +17,7 @@ before multiplying, so results are bit-identical.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -454,30 +455,56 @@ def pq_codebooks() -> list[list[list[float]]]:
     return out
 
 
-def _pq_subdist(cb_row, sub):
-    """||sub - c||² as an ordered left fold (float-bit-identical to
-    the oracle's left-associated 8-term sum)."""
-    return F.aggregate(
-        F.zip_with(cb_row, sub,
-                   lambda x, y: (x - y.cast("double"))
-                   * (x - y.cast("double"))),
-        F.lit(0.0), lambda acc, v: acc + v)
+def _pq_dists_np(emb_series):
+    """(N, M, K) float64 distance tensor ||sub_m(v) - cb[m][c]||² with
+    the SAME left-fold term order as the oracle's left-associated SQL
+    chain: accumulate (cb_i - v_i)² sequentially over i. Codebook and
+    vectors upcast to float64 before subtracting (≡ CAST AS DOUBLE),
+    so every IEEE op matches DuckDB bit-for-bit."""
+    import numpy as np
+
+    cb = np.array(pq_codebooks(), dtype=np.float64)     # (M, K, S)
+    ev = np.vstack([np.asarray(e, dtype=np.float64)
+                    for e in emb_series])                # (N, DIM)
+    n = ev.shape[0]
+    d = np.zeros((n, PQ_M, PQ_K), dtype=np.float64)
+    for m in range(PQ_M):
+        sub = ev[:, m * PQ_SUB:(m + 1) * PQ_SUB]        # (N, S)
+        for i in range(PQ_SUB):                         # ordered fold
+            t = cb[m, :, i][None, :] - sub[:, i][:, None]   # (N, K)
+            d[:, m, :] = d[:, m, :] + t * t
+    return d
 
 
-def _pq_codes_col():
-    """array<int> of the PQ_M argmin sub-codebook indices for
-    ``embedding`` (ties -> lowest index, via the negated-index struct
-    trick shared with the IVF cell argmax)."""
-    cbs = pq_codebooks()
-    cols = []
-    for m, cb in enumerate(cbs):
-        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
-        structs = F.array(*[
-            F.struct((-_pq_subdist(F.lit(cb[c]), sub)).alias("nd"),
-                     F.lit(-c).alias("nc"))
-            for c in range(PQ_K)])
-        cols.append((-F.array_max(structs)["nc"]).cast("int"))
-    return F.array(*cols)
+def _pq_codes_udf():
+    """pandas UDF: embedding -> array<int> of the PQ_M argmin codes
+    (ties -> lowest index = np.argmin first-occurrence, matching the
+    oracle's negated-index struct tie-break). One Arrow batch in, one
+    numpy pass out — the PQ ENCODE is a batched kernel like the geo
+    encode, not an interpreted higher-order expression (a 128-fold
+    Column expression ran ~100× slower)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(emb: pd.Series) -> pd.Series:
+        d = _pq_dists_np(emb)
+        return pd.Series(list(d.argmin(axis=2).astype("int32")))
+
+    return _codes
+
+
+def _pq_lut_udf():
+    """pandas UDF: embedding -> array<array<double>> LUT[m][c] — the
+    per-query asymmetric-distance table (same numpy kernel, full
+    matrix instead of the argmin)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def _lut(emb: pd.Series) -> pd.Series:
+        d = _pq_dists_np(emb)
+        return pd.Series([row.tolist() for row in d])
+
+    return _lut
 
 
 def _pq_sub_sql(col: str, m: int) -> str:
@@ -495,10 +522,10 @@ def _pq_sub_sql(col: str, m: int) -> str:
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding: (vec_id, pq_code) with the {PQ_M} 4-bit codes
+    """PQ encoding: (vec_id, pq_code) with the PQ_M 4-bit codes
     packed into ONE int64 — the compressed representation the
-    inverted lists store (a projection; scales as a map)."""
-    codes = _pq_codes_col()
+    inverted lists store (one batched encode UDF; scales as a map)."""
+    codes = _pq_codes_udf()(F.col("embedding"))
     packed = F.aggregate(
         F.transform(codes, lambda c, i: c.cast("long")
                     * F.pow(F.lit(2), i * F.lit(4)).cast("long")),
@@ -524,22 +551,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
     (vec_id, ivf_cell, codes) — bytes per vector, not the embedding
     column. Output (query_id, vec_id, rnk) by (approx dist asc,
     vec_id)."""
-    spark_emb = _emb(spark, sf_dir)
-    db = spark_emb.select("vec_id", _ivf_cell_col().alias("ivf_cell"),
-                          _pq_codes_col().alias("codes"))
-    cbs = F.lit(pq_codebooks())
-    q = spark_emb.where(F.col("vec_id") < N_QUERIES)
-    # per-query LUT[m][c] = ||sub_m(q) - cb[m][c]||², ordered folds
-    lut = F.transform(
-        cbs,
-        lambda cb_m, m: F.transform(
-            cb_m,
-            lambda c: F.aggregate(
-                F.zip_with(c, F.slice("embedding",
-                                      m * F.lit(PQ_SUB) + 1, PQ_SUB),
-                           lambda x, y: (x - y.cast("double"))
-                           * (x - y.cast("double"))),
-                F.lit(0.0), lambda acc, v: acc + v)))
+    # db and q each get their OWN scan relation: deriving both sides
+    # of the join from one DataFrame makes Catalyst deduplicate the
+    # shared attributes and the pandas-UDF columns can then bind to
+    # the wrong side at runtime (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    db = _emb(spark, sf_dir) \
+        .select("vec_id", _ivf_cell_col().alias("ivf_cell"),
+                _pq_codes_udf()(F.col("embedding")).alias("codes"))
+    q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERIES)
+    # per-query LUT[m][c] = ||sub_m(q) - cb[m][c]||² (batched numpy,
+    # ordered folds — see _pq_dists_np)
+    lut = _pq_lut_udf()(F.col("embedding"))
     probes = F.slice(F.reverse(F.array_sort(_ivf_dot_structs())),
                      1, nprobe)
     q = q.select(F.col("vec_id").alias("query_id"),
