@@ -548,9 +548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_algebra": _q_cell_algebra,
         "cell_children": _q_cell_children,
         "tile_rollup": _q_tile_rollup,
-        "token_roundtrip": _q_knn_tokens,
+        "multimodal_dedup": _q_multimodal_dedup,
         "cellunion_intersect": _q_cellunion_intersect,
-        "tile_enumerate": _q_tile_enumerate,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "neighbors": _q_neighbors,
         "vertex_neighbors": _q_vertex_neighbors,
         "pip_broadcast": _q_pip_broadcast,
@@ -604,7 +604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pip": _q_image_pip,
         "image_components": _q_image_components,
         "ann_ivf_recall": _q_ann_ivf_recall,
-        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "image_tile_stats_exact": _q_image_tile_stats_exact,
         # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
         "top_tiles": _q_top_tiles,
@@ -621,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pii_scan": _q_pii_scan,
         "simhash": T.simhash,
+        "token_roundtrip": _q_knn_tokens,
+        "tile_enumerate": _q_tile_enumerate,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
@@ -751,6 +752,65 @@ reach(image_id, r) AS (
   SELECT reach.image_id, e.b FROM reach JOIN edges e ON reach.r = e.a
 )
 SELECT image_id, min(r) AS canonical_id FROM reach GROUP BY image_id
+"""
+
+
+def _q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross-modal image+caption curation: visual canonical (phash
+    components) AND per-caption-template diversity cap (digit-
+    normalized captions). Oracle: recursive-CTE components over the
+    frozen fixture phashes + captions reconstructed deterministically
+    from the image ids."""
+    from s2spark import images as IM
+    return IM.multimodal_dedup(IM.synth_images(spark, 500))
+
+
+def _multimodal_dedup_sql() -> str:
+    from s2spark import images as IM
+    from s2spark.text import MD5_INT64_SQL
+    golden_imgs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "golden", "geo_images.parquet")
+    tpl = ("regexp_replace('caption ' || idx || ' size ' || w || 'x' || h"
+           " || ' fmt ' || fmt, '[0-9]+', '#', 'g')")
+    return f"""
+WITH RECURSIVE g AS (SELECT image_id, phash
+                     FROM read_parquet('{golden_imgs}')),
+p AS MATERIALIZED (
+  SELECT a.image_id AS i1, b.image_id AS i2
+  FROM g a JOIN g b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {IM.PHASH_HAMMING_MAX}),
+edges AS MATERIALIZED (SELECT i1 AS a, i2 AS b FROM p
+                       UNION SELECT i2, i1 FROM p),
+ids AS MATERIALIZED (SELECT image_id FROM g),
+reach(image_id, r) AS (
+  SELECT image_id, image_id FROM ids
+  UNION
+  SELECT reach.image_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT image_id, min(r) AS canonical_id FROM reach
+         GROUP BY image_id),
+cap0 AS (
+  SELECT image_id, CAST(substr(image_id, 4) AS BIGINT) AS idx
+  FROM g),
+cap1 AS (
+  SELECT image_id,
+         [8, 16, 32][(idx % 3) + 1] AS w,
+         [8, 16, 32][((idx // 3) % 3) + 1] AS h,
+         ['raw', 'png', 'qzl'][(idx % 3) + 1] AS fmt, idx
+  FROM cap0),
+cap AS (
+  SELECT image_id,
+         {MD5_INT64_SQL.format(col=tpl)} AS tpl_hash
+  FROM cap1),
+rk AS (
+  SELECT image_id, tpl_hash,
+         CAST(row_number() OVER (PARTITION BY tpl_hash
+                                 ORDER BY image_id) AS INT) AS tpl_rank
+  FROM cap)
+SELECT comp.image_id, comp.canonical_id, rk.tpl_hash, rk.tpl_rank,
+       comp.image_id = comp.canonical_id
+       AND rk.tpl_rank <= {IM.MM_TEMPLATE_CAP} AS keep
+FROM comp JOIN rk ON comp.image_id = rk.image_id
 """
 
 
@@ -1148,6 +1208,7 @@ FROM ptx WHERE {FX.region_predicate_sql(FX.SPOLYS[0][0])}
         # codec / resize / phash / rFFT regression trips the driver gate
         "image_pip": _image_pip_sql(),
         "image_components": _image_components_sql(),
+        "multimodal_dedup": _multimodal_dedup_sql(),
         "ann_ivf_recall": A.ann_ivf_recall_sql(),
         "ann_ivfpq_recall": A.ann_ivfpq_recall_sql(),
         "image_phash_neardup": f"""

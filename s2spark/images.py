@@ -365,6 +365,40 @@ def phash_neardup_pairs(images: DataFrame,
                 "hamming")
 
 
+MM_TEMPLATE_CAP = 25   # max images kept per caption template
+
+
+def multimodal_dedup(images: DataFrame,
+                     per_template_cap: int = MM_TEMPLATE_CAP) -> DataFrame:
+    """CROSS-MODAL curation — the image+caption joint dedup a
+    multimodal training pipeline runs: an image survives only if it is
+    (a) the canonical of its VISUAL near-dup cluster (phash
+    components) and (b) within the per-CAPTION-TEMPLATE diversity cap
+    (captions digit-normalized ``[0-9]+ -> #`` so boilerplate like
+    "caption 17 size 8x16" collapses to its template; unbounded
+    template groups are caption spam).
+
+    Scale shape: the visual side is the oracled pointer-doubling
+    components op; the caption side is a projection + ONE window per
+    template hash (60-bit md5 — no string shuffle). Output
+    (image_id, canonical_id, tpl_hash, tpl_rank, keep).
+    """
+    from pyspark.sql import Window
+
+    from s2spark.text import md5_int64
+
+    comp = image_components(images)
+    tpl = F.regexp_replace("caption", "[0-9]+", "#")
+    cap = images.select("image_id", md5_int64(tpl).alias("tpl_hash"))
+    w = Window.partitionBy("tpl_hash").orderBy("image_id")
+    cap = cap.withColumn("tpl_rank",
+                         F.row_number().over(w).cast("int"))
+    return comp.join(cap, "image_id").select(
+        "image_id", "canonical_id", "tpl_hash", "tpl_rank",
+        ((F.col("image_id") == F.col("canonical_id"))
+         & (F.col("tpl_rank") <= F.lit(per_template_cap))).alias("keep"))
+
+
 def image_tile_stats(images: DataFrame, level: int = 8) -> DataFrame:
     """per-tile image statistics: encode geo -> tile (Column expr) ->
     per-tile counts + phash diversity (approx distinct)."""

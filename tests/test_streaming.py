@@ -234,3 +234,40 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir,
                                           name="ep_test")
     got = sorted(tuple(r) for r in got_df.collect())
     assert got == expected
+
+
+def test_stream_stream_join_across_micro_batches(spark, sf_dir,
+                                                 tmp_path):
+    """the stream-stream join must also be exact when the input
+    arrives over SEVERAL micro-batches (maxFilesPerTrigger=1): rows
+    from batch k join rows from earlier batches out of the join state,
+    proving the state store actually holds the watermark horizon."""
+    import glob
+    import shutil as sh
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = str(tmp_path / "ev_pairs_mb")
+    os.makedirs(stream_dir)
+    rows = src.orderBy("ts").collect()
+    third = (len(rows) + 2) // 3
+    for k in range(3):
+        part = spark.createDataFrame(rows[k * third:(k + 1) * third],
+                                     schema=src.schema)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"pstage{k}"))
+        f = glob.glob(str(tmp_path / f"pstage{k}" / "*.parquet"))[0]
+        sh.copy(f, os.path.join(stream_dir, f"part-{k}.parquet"))
+
+    batch = ST.correlated_event_pairs(spark.read.parquet(
+        f"{sf_dir}/events.parquet"))
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert expected
+
+    stream = spark.readStream.schema(ST.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", "1").parquet(stream_dir)
+    q = ST.correlated_event_pairs(stream) \
+        .writeStream.format("memory").queryName("ep_mb_test") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("ep_mb_test").collect())
+    assert got == expected
