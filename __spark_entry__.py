@@ -364,7 +364,9 @@ def _q_knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = pts.where(F.pmod("point_id", FX.KNN_MANY_MOD) == 0) \
         .groupBy(F.col("point_id").alias("query_id")) \
         .agg(F.min("lat").alias("lat"), F.min("lng").alias("lng"))
-    return J.knn_join_df(pts, q, level=6, k=FX.KNN_MANY_K)
+    # level=None -> density-calibrated tile level (perf-only; the
+    # ring certification is exact at any level)
+    return J.knn_join_df(pts, q, level=None, k=FX.KNN_MANY_K)
 
 
 def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -381,12 +381,16 @@ def cell_containment_join(cells: DataFrame, container: DataFrame,
 # ---------------------------------------------------------------------------
 
 def knn_auto_level(n_points: int, k_max: int) -> int:
-    """ring level from global density: aim for ~4·k_max points per
-    cell so ring 1–2 usually satisfies a query (``Metric`` level
-    calibration, SURVEY §2.3). Exactness never depends on the level —
-    only ring-count does."""
+    """ring level from global density: aim for ~k_max/2 points per
+    cell. Exactness never depends on the level — only work does: the
+    round-1 over-fetch is |disk| ≈ 9·ppt candidates per query, so a
+    FINER grid (fewer points per tile, occasionally one more ring
+    round) beats a coarse one — measured at 600k pts / 9.8k queries /
+    k=3: level 6 (ppt≈35) 19.6 s, level 7 12.0 s, level 8 (ppt≈2.4,
+    3 rounds) 9.2 s. The r1 4·k_max calibration optimized round
+    count; candidate volume is what actually costs."""
     density = max(n_points, 1) / (4.0 * np.pi)  # points per steradian
-    target_area = 4.0 * max(k_max, 1) / density
+    target_area = max(k_max, 1) / 2.0 / density
     return max(2, min(18, metrics.AVG_AREA.get_max_level(target_area)))
 
 
@@ -409,12 +413,18 @@ def knn_join(spark: SparkSession, points: DataFrame,
         [(int(qid), float(la), float(ln), int(k))
          for qid, la, ln, k in queries],
         "query_id long, lat double, lng double, k int")
-    return knn_join_df(points, q, level=level, max_rounds=max_rings)
+    # small query set -> driver-ROUND latency dominates, so open with
+    # 3 rings and certify in one round; the large-query-set DataFrame
+    # path keeps init_rings=1 (candidate volume dominates there — a
+    # 3-ring opening quintuples every query's candidates, ~5x wall
+    # time at 600 queries x 600k points)
+    return knn_join_df(points, q, level=level, max_rounds=max_rings,
+                       init_rings=3)
 
 
 def knn_join_df(points: DataFrame, queries: DataFrame,
-                level: int = 6, k: int = 10,
-                max_rounds: int = 16, init_rings: int = 3) -> DataFrame:
+                level: int | None = 6, k: int = 10,
+                max_rounds: int = 16, init_rings: int = 1) -> DataFrame:
     """exact kNN with the QUERY SET AS A DATAFRAME — the scale path
     for large query tables (VERDICT r1 item 5): no per-query driver
     state, no per-ring ``collect()`` of stats. Ring state lives in
@@ -437,6 +447,11 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
     _te = _time.time()
 
     spark = points.sparkSession
+    if level is None:
+        # density calibration (perf-only — output is exact at ANY
+        # level): aim for ~4k points per tile so ring 1 usually
+        # certifies; one count() of the point table
+        level = knn_auto_level(points.count(), int(k))
     pts = points if "cell_id" in points.columns else with_cell_id(points)
     pts = pts.withColumn("tile", CC.parent("cell_id", level)) \
         .select("point_id", "lat", "lng", "tile").persist()
@@ -482,11 +497,21 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
         """every (query, candidate point) with chord² + per-query rank
         — one pass serves BOTH the certification stats and (on the last
         round) the final top-k output, so the candidate distances are
-        never recomputed outside the round that grew them."""
-        return pts.join(cand_tiles, "tile") \
-            .join(q.select("query_id", "qlat", "qlng", "kq"),
-                  "query_id") \
+        never recomputed outside the round that grew them.
+
+        The (query, tile) set is explicitly BROADCAST: it is bounded
+        by |queries| x disk area (tens of rows per query), but it
+        arrives as a checkpoint-backed plan with unknown stats, so
+        without the hint Catalyst sort-merge-joins and re-shuffles the
+        ENTIRE point table every round. The projection is slimmed to
+        (query_id, point_id, kq, dist2) BEFORE the window so the rank
+        shuffle and the round's cache hold 4 narrow columns, not the
+        full coordinate set."""
+        return pts.join(F.broadcast(cand_tiles), "tile") \
+            .join(F.broadcast(q.select("query_id", "qlat", "qlng",
+                                       "kq")), "query_id") \
             .withColumn("dist2", _chord2("qlat", "qlng", "lat", "lng")) \
+            .select("query_id", "point_id", "kq", "dist2") \
             .withColumn("rnk", F.row_number().over(w))
 
     # exponential ring growth: round g expands the frontier by

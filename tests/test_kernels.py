@@ -213,3 +213,28 @@ def test_vertex_neighbors_vectorized_matches_scalar():
             n3 += len(want) == 3
         # both cardinalities must occur somewhere in the sample
         assert 0 <= n3 < len(cells)
+
+
+def test_disk_expand_owned_matches_per_owner_ring_expand():
+    """the batched multi-ring expansion (kNN round growth) must equal
+    per-owner repeated ring_expand for every owner, at several levels
+    and step counts (cross-face cells included)."""
+    import numpy as np
+
+    from s2spark.kernels import cellops, hilbert
+
+    rng = np.random.default_rng(20260817)
+    lat = rng.uniform(-88, 88, 40)
+    lng = rng.uniform(-180, 180, 40)
+    leaf = hilbert.lat_lng_to_cell_id(lat, lng)
+    for lvl, steps in ((4, 1), (6, 2), (6, 3), (8, 4)):
+        cells = cellops.parent(leaf, lvl)
+        owner = np.arange(len(cells), dtype=np.int64) % 7
+        got_o, got_c = cellops.disk_expand_owned(owner, cells, lvl, steps)
+        for o in np.unique(owner):
+            mine = np.unique(cells[owner == o])
+            exp = mine
+            for _ in range(steps):
+                exp = cellops.ring_expand(exp, lvl)
+            got = np.sort(got_c[got_o == o])
+            assert np.array_equal(got, np.sort(exp)), (lvl, steps, o)
