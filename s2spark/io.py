@@ -180,14 +180,28 @@ def scan_cell_range(spark: SparkSession, path: str,
     [cell_lo, cell_hi] (e.g. a covering cell's range_min..range_max).
     The BETWEEN lands in the scan's PushedFilters -> row-group min/max
     pruning on the sorted layout."""
+    return scan_cell_ranges(spark, path, [(cell_lo, cell_hi)])
+
+
+def scan_cell_ranges(spark: SparkSession, path: str,
+                     ranges: list) -> DataFrame:
+    """scan a clustered dataset for ids in ANY of the uint64-inclusive
+    ``(lo, hi)`` ranges — the shape of a COVERING read: each covering
+    cell contributes its [range_min, range_max] interval, the OR of
+    BETWEENs pushes to the parquet reader, and on the Hilbert-sorted
+    layout only row groups overlapping some covering interval are
+    read ("scan the tile, not the planet")."""
+
     def _sortable_scalar(x: int) -> int:
         u = (int(x) ^ (1 << 63)) & ((1 << 64) - 1)
         return u - (1 << 64) if u >= (1 << 63) else u
 
-    return spark.read.parquet(path) \
-        .where(F.col(CELL_SORT_COL).between(
-            F.lit(_sortable_scalar(cell_lo)),
-            F.lit(_sortable_scalar(cell_hi))))
+    pred = None
+    for lo, hi in ranges:
+        p = F.col(CELL_SORT_COL).between(
+            F.lit(_sortable_scalar(lo)), F.lit(_sortable_scalar(hi)))
+        pred = p if pred is None else (pred | p)
+    return spark.read.parquet(path).where(pred)
 
 
 def result_fingerprint(df: DataFrame) -> int:

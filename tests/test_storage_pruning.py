@@ -103,3 +103,56 @@ def test_clustered_files_are_min_max_prunable(spark, sf_dir, tmp_path):
     lo, hi = spans[len(spans) // 2]
     hit = sum(1 for a, b in spans if a <= hi and b >= lo)
     assert hit <= 2
+
+
+def test_covering_scan_composes_with_pip(spark, sf_dir, tmp_path):
+    """the 100 TB read path end to end: points written
+    Hilbert-clustered, one region's COVERING turned into its
+    [range_min, range_max] intervals, scan_cell_ranges pulls exactly
+    the candidate rows the full-table filter would — while reading a
+    fraction of the row groups ("scan the tile, not the planet")."""
+    import numpy as np
+
+    from s2spark import fixtures as FX
+    from s2spark import joins as J
+    from s2spark.kernels import cellops
+
+    pts = with_cell_id(FX.points_df(spark, sf_dir))
+    clustered = str(tmp_path / "clustered_pip")
+    IO.write_clustered(pts, clustered, num_files=16)
+    total = pts.count()
+
+    cov_rows = J.compute_coverings(FX.region_objects())
+    read_frac = []
+    nonempty = 0
+    for rid in sorted({r[0] for r in cov_rows}):
+        if nonempty >= 3:
+            break
+        cells = np.array([r[1] for r in cov_rows if r[0] == rid],
+                         dtype=np.uint64)
+        ranges = list(zip(cellops.range_min(cells).tolist(),
+                          cellops.range_max(cells).tolist()))
+        scan = IO.scan_cell_ranges(spark, clustered, ranges)
+        got = sorted(r["point_id"] for r in scan.collect())
+
+        # twin: full-table filter with the same intervals
+        m, metrics = _scan_metrics(scan)
+        sortable = F.col("cell_id").bitwiseXOR(F.lit(-(2 ** 63)))
+        pred = None
+        for lo, hi in ranges:
+            u = lambda x: x - (1 << 64) if x >= (1 << 63) else x
+            los = u(lo ^ (1 << 63))
+            his = u(hi ^ (1 << 63))
+            p = sortable.between(F.lit(los), F.lit(his))
+            pred = p if pred is None else (pred | p)
+        exp = sorted(r["point_id"]
+                     for r in pts.where(pred).collect())
+        assert got == exp
+        if got:
+            nonempty += 1
+            read_frac.append(metrics["numOutputRows"] / total)
+
+    # at least two regions actually matched rows at this sf, and each
+    # covering read touched a minority of the table's rows
+    assert nonempty >= 2
+    assert max(read_frac) < 0.55, read_frac
