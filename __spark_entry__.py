@@ -548,10 +548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- geo / tiling / joins (SURVEY §2.1–2.7) ---
         "tile_assign": _q_tile_assign,
         "cell_algebra": _q_cell_algebra,
-        "cell_children": _q_cell_children,
+        "bigram_model": _q_bigram_model,
         "tile_rollup": _q_tile_rollup,
         "multimodal_dedup": _q_multimodal_dedup,
-        "cellunion_intersect": _q_cellunion_intersect,
+        "lm_quality": _q_lm_quality,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "neighbors": _q_neighbors,
         "vertex_neighbors": _q_vertex_neighbors,
@@ -624,6 +624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": T.simhash,
         "token_roundtrip": _q_knn_tokens,
         "tile_enumerate": _q_tile_enumerate,
+        "cell_children": _q_cell_children,
+        "cellunion_intersect": _q_cellunion_intersect,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
@@ -656,6 +658,20 @@ def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p90/p99, all-integer rank math); exact SQL oracle."""
     from s2spark import text as T
     return T.token_quantiles(spark, sf_dir)
+
+
+def _q_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus bigram LM stats: per-left-token top-K continuations with
+    fixed-point conditional frequency (integer-exact oracle)."""
+    from s2spark import text as T
+    return T.bigram_model(spark, sf_dir)
+
+
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-doc LM fluency (pseudo-perplexity, log-free): mean bigram
+    conditional frequency under the corpus model."""
+    from s2spark import text as T
+    return T.lm_quality(spark, sf_dir)
 
 
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,6 +1269,8 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_IM.PHASH_HAMMING_MAX}
         "dedup_components": T.dedup_components_sql(),
         "event_pairs": _event_pairs_sql(),
         "repetition_ratio": T.REPETITION_SQL,
+        "bigram_model": T.bigram_model_sql(),
+        "lm_quality": T.lm_quality_sql(),
         "decontaminate": T.DECONTAM_SQL,
         "dedup_keep_best": T.dedup_keep_best_sql(),
         "stratified_sample": T.stratified_sample_sql(),

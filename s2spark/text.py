@@ -471,6 +471,118 @@ FROM ranked WHERE rnk <= {TFIDF_TOP_K}
 """
 
 
+BIGRAM_TOP_K = 10
+LM_SCALE = 10 ** 9   # conditional-frequency fixed-point scale
+
+
+def _bigrams(df: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) consecutive-token pairs (JVM transform)."""
+    d = with_tokens(df).where(F.size("toks") >= 2)
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - F.lit(2)),
+        lambda i: F.struct(F.col("toks")[i].alias("w1"),
+                           F.col("toks")[i + F.lit(1)].alias("w2")))
+    return d.select("doc_id", F.explode(bg).alias("b")) \
+        .select("doc_id", F.col("b.w1").alias("w1"),
+                F.col("b.w2").alias("w2"))
+
+
+_BIGRAMS_SQL = """
+SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2) w,
+     unnest(range(1, len(toks))) AS t(i)
+"""
+
+
+def bigram_model(spark: SparkSession, sf_dir: str,
+                 top_k: int = BIGRAM_TOP_K) -> DataFrame:
+    """corpus BIGRAM language-model statistics — the n-gram LM every
+    importance-sampling / perplexity-style curation pipeline trains
+    first: per left-token top-K continuations with count and a
+    fixed-point conditional frequency ``floor(1e9·c(w1,w2)/c(w1·))``
+    (integer-exact cross-engine: one IEEE divide + floor, the
+    tfidf_top_terms discipline).
+
+    Scale shape: one transform+explode projection, two partial aggs
+    (bigram counts shuffle on (w1, w2); left-marginal on w1), one
+    top-K window per w1. Output (w1, w2, n, cond_fp, rnk)."""
+    from pyspark.sql import Window
+
+    bg = _bigrams(_docs(spark, sf_dir))
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    left = bg.groupBy("w1").agg(F.count("*").alias("n_left"))
+    scored = pair.join(left, "w1") \
+        .withColumn("cond_fp", F.floor(
+            F.col("n") * F.lit(float(LM_SCALE)) / F.col("n_left"))
+            .cast("long"))
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), "w2")
+    return scored.withColumn("rnk",
+                             F.row_number().over(w).cast("int")) \
+        .where(F.col("rnk") <= top_k) \
+        .select("w1", "w2", "n", "cond_fp", "rnk")
+
+
+def bigram_model_sql(top_k: int = BIGRAM_TOP_K) -> str:
+    return f"""
+WITH bg AS ({_BIGRAMS_SQL.strip()}),
+pair AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+lft AS (SELECT w1, count(*) AS n_left FROM bg GROUP BY 1),
+scored AS (
+  SELECT pair.w1, pair.w2, pair.n,
+         CAST(floor(pair.n * {float(LM_SCALE)!r} / lft.n_left)
+           AS BIGINT) AS cond_fp
+  FROM pair JOIN lft ON pair.w1 = lft.w1),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY w1
+                                    ORDER BY n DESC, w2) AS INT) AS rnk
+  FROM scored)
+SELECT w1, w2, n, cond_fp, rnk FROM ranked WHERE rnk <= {top_k}
+"""
+
+
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-doc LM fluency score — the pseudo-perplexity curation
+    signal: the mean fixed-point conditional frequency of the doc's
+    bigrams under the corpus bigram model (log-free so the oracle is
+    integer-exact: score = floor(sum(cond_fp)/n_bigrams); fluent text
+    full of common continuations scores high, word salad scores low).
+
+    Scale shape: doc bigrams equi-join the model on (w1, w2) — both
+    sides shuffle on the bigram key, partial aggs everywhere; no
+    driver actions. Output (doc_id, n_bigrams, lm_score)."""
+    bg = _bigrams(_docs(spark, sf_dir))
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    left = bg.groupBy("w1").agg(F.count("*").alias("n_left"))
+    model = pair.join(left, "w1").select(
+        "w1", "w2",
+        F.floor(F.col("n") * F.lit(float(LM_SCALE)) / F.col("n_left"))
+        .cast("long").alias("cond_fp"))
+    return bg.join(model, ["w1", "w2"]) \
+        .groupBy("doc_id") \
+        .agg(F.count("*").alias("n_bigrams"),
+             F.floor(F.sum("cond_fp") / F.count("*")).cast("long")
+             .alias("lm_score"))
+
+
+def lm_quality_sql() -> str:
+    return f"""
+WITH bg AS ({_BIGRAMS_SQL.strip()}),
+pair AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+lft AS (SELECT w1, count(*) AS n_left FROM bg GROUP BY 1),
+model AS (
+  SELECT pair.w1, pair.w2,
+         CAST(floor(pair.n * {float(LM_SCALE)!r} / lft.n_left)
+           AS BIGINT) AS cond_fp
+  FROM pair JOIN lft ON pair.w1 = lft.w1)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       CAST(floor(CAST(sum(cond_fp) AS BIGINT) / count(*)) AS BIGINT)
+           AS lm_score
+FROM bg JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
+GROUP BY bg.doc_id
+"""
+
+
 def token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-language token-count quantiles (p50/p90/p99 by the
     nearest-rank definition: value at row ceil(p·n)) — corpus length
