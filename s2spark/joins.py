@@ -493,26 +493,36 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy("dist2", "point_id")
 
-    def _ranked(cand_tiles: DataFrame) -> DataFrame:
+    def _ranked(cand_tiles: DataFrame, hint: bool = True) -> DataFrame:
         """every (query, candidate point) with chord² + per-query rank
-        — one pass serves BOTH the certification stats and (on the last
-        round) the final top-k output, so the candidate distances are
-        never recomputed outside the round that grew them.
+        — one pass per round serves BOTH the certification stats and
+        the emitted top-k of the queries that certify that round, so
+        candidate distances are never recomputed.
 
         The (query, tile) set is explicitly BROADCAST: it is bounded
         by |queries| x disk area (tens of rows per query), but it
         arrives as a checkpoint-backed plan with unknown stats, so
         without the hint Catalyst sort-merge-joins and re-shuffles the
-        ENTIRE point table every round. The projection is slimmed to
-        (query_id, point_id, kq, dist2) BEFORE the window so the rank
-        shuffle and the round's cache hold 4 narrow columns, not the
-        full coordinate set."""
-        return pts.join(F.broadcast(cand_tiles), "tile") \
+        ENTIRE point table every round (``hint=False`` only for the
+        rare brute-force fallback, whose tile set is all of them). The
+        projection is slimmed to (query_id, point_id, kq, dist2)
+        BEFORE the window so the rank shuffle and the round's cache
+        hold 4 narrow columns, not the full coordinate set."""
+        ct = F.broadcast(cand_tiles) if hint else cand_tiles
+        return pts.join(ct, "tile") \
             .join(F.broadcast(q.select("query_id", "qlat", "qlng",
                                        "kq")), "query_id") \
             .withColumn("dist2", _chord2("qlat", "qlng", "lat", "lng")) \
             .select("query_id", "point_id", "kq", "dist2") \
             .withColumn("rnk", F.row_number().over(w))
+
+    def _topk(ranked: DataFrame, only: DataFrame | None = None
+              ) -> DataFrame:
+        s = ranked if only is None else \
+            ranked.join(F.broadcast(only), "query_id", "left_semi")
+        return s.where(F.col("rnk") <= F.col("kq")) \
+            .select("query_id", "point_id",
+                    F.col("rnk").cast("int").alias("rnk"))
 
     # exponential ring growth: round g expands the frontier by
     # min(2^(g-1), 8) rings IN ONE vectorized pass (per-query tiles
@@ -533,7 +543,12 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
         print(f"[knn] setup sec={_time.time()-_te:.2f}", flush=True)
     r = 0          # cumulative ring radius (certification bound)
     g = 0          # driver round counter
-    ranked = None  # persisted (query, point, dist2, rnk) of last round
+    cached = []    # per-round persisted ranked sets (released at end)
+    out_parts = [] # top-k slices, EMITTED the round a query certifies:
+    #                a certified query's seen disk never grows again,
+    #                so its ranking that round is final — later rounds
+    #                rank ONLY still-active queries instead of everyone
+    ranked = None
     while r < max_rounds:
         _t0 = _time.time()
         g += 1
@@ -555,6 +570,7 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
                           (F.array("tile"))).alias("tile"))
             new_tiles = grown
             seen = grown
+            act_seen = seen
         else:
             grown = frontier.groupBy("query_id") \
                 .agg(F.collect_list("tile").alias("tiles")) \
@@ -565,7 +581,9 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
                                    "left_anti") \
                 .localCheckpoint(eager=False)
             seen = seen.unionAll(new_tiles).localCheckpoint(eager=False)
-        prev, ranked = ranked, _ranked(seen).persist()
+            act_seen = seen.join(active, "query_id", "left_semi")
+        ranked = _ranked(act_seen).persist()
+        cached.append(ranked)
         st = ranked.groupBy("query_id", "kq") \
             .agg(F.count("*").alias("cnt"),
                  F.min(F.when(F.col("rnk") == F.col("kq"),
@@ -575,11 +593,10 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
                              & F.col("kth").isNotNull()
                              & (F.col("kth") <= F.lit(bound))) \
             .select("query_id")
+        out_parts.append(_topk(ranked, satisfied))
         active = active.join(satisfied, "query_id", "left_anti") \
             .localCheckpoint(eager=False)
         done = bound >= 4.0 or active.isEmpty()
-        if prev is not None:
-            prev.unpersist()
         if _dbg:
             print(f"[knn] round g={g} r={r} step={step} "
                   f"sec={_time.time()-_t0:.2f} done={done}", flush=True)
@@ -587,31 +604,37 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
             break
         frontier = new_tiles.join(active, "query_id", "left_semi")
 
-    if ranked is None:                       # max_rounds == 0 degenerate
-        ranked = _ranked(seen).persist()
-    elif not active.isEmpty() and safe_chord2(r) < 4.0:
-        # brute-force fallback for uncertified queries (cf. knn_join);
-        # re-dedupe (query, tile) so no candidate row is double-counted
-        seen = seen.unionAll(
-            active.crossJoin(pts.select("tile").distinct())) \
-            .dropDuplicates(["query_id", "tile"])
-        ranked.unpersist()
-        ranked = _ranked(seen).persist()
+    if g == 0 or not active.isEmpty():
+        # stragglers that never certified. bound >= pi: their last
+        # ranked set already held every reachable point — emit it.
+        # Otherwise (rounds exhausted / max_rounds == 0): brute force
+        # over all occupied tiles, no broadcast hint (the tile set is
+        # the whole table's).
+        if g > 0 and safe_chord2(r) >= 4.0:
+            out_parts.append(_topk(ranked, active))
+        else:
+            cand = active.crossJoin(pts.select("tile").distinct()) if g \
+                else q.select("query_id").crossJoin(
+                    pts.select("tile").distinct())
+            fb = _ranked(cand.dropDuplicates(["query_id", "tile"]),
+                         hint=False).persist()
+            cached.append(fb)
+            out_parts.append(_topk(fb))
 
-    # the last round already materialized `ranked` (its stats pass runs
-    # the window shuffle in full), so the top-k filter below reads the
-    # cache; eagerly checkpoint the SMALL result (<= sum of k) so every
+    # eagerly checkpoint the SMALL result (<= sum of k) so every
     # intermediate cache can be released before returning — no persist
-    # outlives the call (ADVICE r3 cache-leak discipline).
+    # outlives the call (ADVICE r3 cache-leak discipline). Each round's
+    # emitted slice reads that round's still-persisted ranked set.
     _t0 = _time.time()
-    out = ranked.where(F.col("rnk") <= F.col("kq")) \
-        .select("query_id", "point_id",
-                F.col("rnk").cast("int").alias("rnk")) \
-        .localCheckpoint()
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionAll(p)
+    out = out.localCheckpoint()
     if _dbg:
         print(f"[knn] final checkpoint sec={_time.time()-_t0:.2f}",
               flush=True)
-    ranked.unpersist()
+    for c in cached:
+        c.unpersist()
     pts.unpersist()
     q.unpersist()
     return out
