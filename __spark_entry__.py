@@ -473,6 +473,38 @@ FROM events a JOIN events b
 """
 
 
+def _q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semi-structured payload extraction (SURVEY §2.8 scalar fns):
+    the events table's JSON ``props`` column parsed with Spark's
+    native from_json into a typed field, aggregated per event type —
+    the log-analytics shape (typed extraction stays JVM-side, no
+    regex in the hot path). All-integer output; DuckDB oracle uses
+    json_extract_string on the same path."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json("props", "k INT")["k"].cast("long")
+    return ev.select("event_type", k.alias("k")) \
+        .groupBy("event_type") \
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("k").isNull().cast("long")).alias("n_null_k"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+
+
+_EVENT_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tumbling-window per-type event counts — the batch twin of the
     Structured Streaming demo (SURVEY §2.10)."""
@@ -549,11 +581,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "cell_algebra": _q_cell_algebra,
         "bigram_model": _q_bigram_model,
-        "tile_rollup": _q_tile_rollup,
+        "source_stats": _q_source_stats,
         "multimodal_dedup": _q_multimodal_dedup,
         "lm_quality": _q_lm_quality,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
-        "neighbors": _q_neighbors,
+        "event_props": _q_event_props,
         "vertex_neighbors": _q_vertex_neighbors,
         "pip_broadcast": _q_pip_broadcast,
         "pip_bucketed": _q_pip_bucketed,
@@ -626,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_enumerate": _q_tile_enumerate,
         "cell_children": _q_cell_children,
         "cellunion_intersect": _q_cellunion_intersect,
+        "tile_rollup": _q_tile_rollup,
+        "neighbors": _q_neighbors,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
@@ -658,6 +692,13 @@ def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50/p90/p99, all-integer rank math); exact SQL oracle."""
     from s2spark import text as T
     return T.token_quantiles(spark, sf_dir)
+
+
+def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-source corpus report: doc count, exact-dup share, token
+    totals, fixed-point stopword ratio, dominant language."""
+    from s2spark import text as T
+    return T.source_stats(spark, sf_dir)
 
 
 def _q_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,6 +1312,8 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_IM.PHASH_HAMMING_MAX}
         "repetition_ratio": T.REPETITION_SQL,
         "bigram_model": T.bigram_model_sql(),
         "lm_quality": T.lm_quality_sql(),
+        "source_stats": T.source_stats_sql(),
+        "event_props": _EVENT_PROPS_SQL,
         "decontaminate": T.DECONTAM_SQL,
         "dedup_keep_best": T.dedup_keep_best_sql(),
         "stratified_sample": T.stratified_sample_sql(),

@@ -583,6 +583,86 @@ GROUP BY bg.doc_id
 """
 
 
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-SOURCE corpus report — the crawl/feed-level quality table a
+    curation team reviews before weighting sources: doc count, exact-
+    duplicate share (docs that are not the global min-id keeper of
+    their text hash), total whitespace tokens, fixed-point stopword
+    ratio ``floor(1e9·Σstop/Σtoks)`` (integer-exact — per-source SUMS
+    of integer counts, never sums of rounded doubles, which would be
+    order-sensitive), and the dominant declared language (max count,
+    alphabetical tie-break).
+
+    Scale shape: one projection, a partial agg on the 60-bit hash for
+    dup detection, two partial aggs on source, one tiny window over
+    (source, lang). Output (source, n_docs, n_dup_docs, ws_tokens,
+    stop_fp, top_lang)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    stop = None
+    for wd in STOPWORDS:
+        c = _count_word(F.col("text"), wd)
+        stop = c if stop is None else stop + c
+    base = d.select(
+        "doc_id", "source", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        stop.alias("n_stop"),
+        md5_int64(F.col("text")).alias("h"))
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flagged = base.join(keep, "h") \
+        .withColumn("is_dup", (F.col("doc_id") != F.col("keep_id"))
+                    .cast("long"))
+    agg = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.sum("n_toks").alias("ws_tokens"),
+        F.floor(F.sum("n_stop") * F.lit(1e9) / F.sum("n_toks"))
+        .cast("long").alias("stop_fp"))
+    lw = Window.partitionBy("source").orderBy(F.desc("n_lang"), "lang")
+    top = base.groupBy("source", "lang") \
+        .agg(F.count("*").alias("n_lang")) \
+        .withColumn("rk", F.row_number().over(lw)) \
+        .where(F.col("rk") == 1) \
+        .select("source", F.col("lang").alias("top_lang"))
+    return agg.join(top, "source")
+
+
+def source_stats_sql() -> str:
+    stop = " + ".join(_count_word_sql(w) for w in STOPWORDS)
+    h = MD5_INT64_SQL.format(col="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         ({stop}) AS n_stop, {h} AS h
+  FROM documents),
+keep AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY h),
+flagged AS (
+  SELECT base.*, CASE WHEN base.doc_id != keep.keep_id THEN 1 ELSE 0
+                 END AS is_dup
+  FROM base JOIN keep ON base.h = keep.h),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+         CAST(sum(n_toks) AS BIGINT) AS ws_tokens,
+         CAST(floor(CAST(sum(n_stop) AS BIGINT) * 1000000000.0
+                    / CAST(sum(n_toks) AS BIGINT)) AS BIGINT)
+             AS stop_fp
+  FROM flagged GROUP BY source),
+top AS (
+  SELECT source, lang AS top_lang
+  FROM (SELECT source, lang, count(*) AS n_lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang) AS rk
+        FROM base GROUP BY source, lang)
+  WHERE rk = 1)
+SELECT agg.source, agg.n_docs, agg.n_dup_docs, agg.ws_tokens,
+       agg.stop_fp, top.top_lang
+FROM agg JOIN top ON agg.source = top.source
+"""
+
+
 def token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-language token-count quantiles (p50/p90/p99 by the
     nearest-rank definition: value at row ceil(p·n)) — corpus length
