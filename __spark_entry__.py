@@ -434,6 +434,45 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("count_order"))
 
 
+def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped STAR join (SURVEY §2.8 join reordering /
+    broadcast-dim selection): lineitem ⋈ orders ⋈ customer ⋈ supplier
+    ⋈ nation ⋈ region with the local-supplier predicate
+    (c_nationkey = s_nationkey) — Catalyst broadcasts every dim and
+    keeps one big-table scan; revenue per (region, nation) with the
+    pricing_summary rounding discipline."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]) \
+        .join(c, o["o_custkey"] == c["c_custkey"]) \
+        .join(s, (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"])) \
+        .join(n, c["c_nationkey"] == n["n_nationkey"]) \
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+    return j.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (F.lit(1) - F.col("l_discount"))), 2)
+        .alias("revenue"))
+
+
+_NATION_REVENUE_SQL = """
+SELECT r_name, n_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """join + window top-k per group (SURVEY §2.8 windows)."""
     from pyspark.sql import Window
@@ -586,7 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": _q_lm_quality,
         "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "event_props": _q_event_props,
-        "vertex_neighbors": _q_vertex_neighbors,
+        "nation_revenue": _q_nation_revenue,
         "pip_broadcast": _q_pip_broadcast,
         "pip_bucketed": _q_pip_bucketed,
         "pip_salted": _q_pip_salted,
@@ -660,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cellunion_intersect": _q_cellunion_intersect,
         "tile_rollup": _q_tile_rollup,
         "neighbors": _q_neighbors,
+        "vertex_neighbors": _q_vertex_neighbors,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
@@ -1314,6 +1354,7 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_IM.PHASH_HAMMING_MAX}
         "lm_quality": T.lm_quality_sql(),
         "source_stats": T.source_stats_sql(),
         "event_props": _EVENT_PROPS_SQL,
+        "nation_revenue": _NATION_REVENUE_SQL,
         "decontaminate": T.DECONTAM_SQL,
         "dedup_keep_best": T.dedup_keep_best_sql(),
         "stratified_sample": T.stratified_sample_sql(),

@@ -144,3 +144,16 @@ def test_distance_join_is_equi_join(spark, sf_dir):
     plan = _plan(J.distance_join(pts, 0.005))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """nation_revenue (TPC-H Q5 shape): every dimension side must plan
+    as a BroadcastHashJoin — ONE fact-table scan, no SortMergeJoin and
+    no shuffle of lineitem at 100 TB."""
+    import __spark_entry__ as E
+
+    df = E.queries()["nation_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
