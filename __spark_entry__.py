@@ -473,6 +473,28 @@ GROUP BY r_name, n_name
 """
 
 
+def _q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact ⋈ broadcast part dimension, revenue per brand ordered
+    desc (SURVEY §2.8; completes coverage of every testdata table) —
+    deterministic ordering via (revenue rounded, brand)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (F.lit(1) - F.col("l_discount"))), 2)
+        .alias("revenue"))
+
+
+_BRAND_REVENUE_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """join + window top-k per group (SURVEY §2.8 windows)."""
     from pyspark.sql import Window
@@ -640,7 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector": _q_raster_vector,
         # --- training-data ops: dedup / text / similarity ---
         "repetition_ratio": T.repetition_ratio,
-        "dedup_ngram_jaccard": T.ngram_jaccard_pairs,
+        "brand_revenue": _q_brand_revenue,
         "dedup_minhash_lsh": T.minhash_lsh_pairs,
         "simhash_pairs": T.simhash_pairs,
         # r4 rotation (VERDICT r3 item 2): the driver certifies the
@@ -700,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": _q_tile_rollup,
         "neighbors": _q_neighbors,
         "vertex_neighbors": _q_vertex_neighbors,
+        "dedup_ngram_jaccard": T.ngram_jaccard_pairs,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
@@ -1355,6 +1378,7 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_IM.PHASH_HAMMING_MAX}
         "source_stats": T.source_stats_sql(),
         "event_props": _EVENT_PROPS_SQL,
         "nation_revenue": _NATION_REVENUE_SQL,
+        "brand_revenue": _BRAND_REVENUE_SQL,
         "decontaminate": T.DECONTAM_SQL,
         "dedup_keep_best": T.dedup_keep_best_sql(),
         "stratified_sample": T.stratified_sample_sql(),
