@@ -43,7 +43,8 @@ BENCH_QUERIES = [
     "image_pip",
     # r4 additions
     "ann_ivfpq", "decontaminate", "event_pairs", "dedup_keep_best",
-    "knn_many", "multimodal_dedup", "lm_quality",
+    "knn_many", "multimodal_dedup", "lm_quality", "nation_revenue",
+    "event_props",
 ]
 
 
