@@ -271,3 +271,34 @@ def test_stream_stream_join_across_micro_batches(spark, sf_dir,
     q.awaitTermination()
     got = sorted(tuple(r) for r in spark.table("ep_mb_test").collect())
     assert got == expected
+
+
+def test_json_props_extraction_on_stream(spark, sf_dir, tmp_path):
+    """semi-structured extraction is stream-safe: the same from_json
+    expression tree + per-type aggregate on readStream (complete
+    mode) equals the batch/DuckDB-oracled event_props query."""
+    import __spark_entry__ as E
+    import pyspark.sql.functions as F
+
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = str(tmp_path / "ev_props")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
+
+    expected = sorted(tuple(r) for r in
+                      E.queries()["event_props"](spark, sf_dir).collect())
+
+    stream = ST.read_events_stream(spark, stream_dir)
+    k = F.from_json("props", "k INT")["k"].cast("long")
+    agg = stream.select("event_type", k.alias("k")) \
+        .groupBy("event_type") \
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("k").isNull().cast("long")).alias("n_null_k"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    q = agg.writeStream.format("memory").queryName("props_test") \
+        .outputMode("complete").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("props_test").collect())
+    assert got == expected
