@@ -379,20 +379,28 @@ def multimodal_dedup(images: DataFrame,
     template groups are caption spam).
 
     Scale shape: the visual side is the oracled pointer-doubling
-    components op; the caption side is a projection + ONE window per
-    template hash (60-bit md5 — no string shuffle). Output
-    (image_id, canonical_id, tpl_hash, tpl_rank, keep).
+    components op; the caption side is a projection + an exact
+    per-template rank (60-bit md5 template hash — no string shuffle)
+    computed through :func:`s2spark.windows.bucketed_row_number`
+    (VERDICT r4 item 2): a spam template is exactly the hot key a
+    single ``row_number() OVER (PARTITION BY tpl_hash)`` window
+    funnels onto one reducer, so the rank instead spreads each
+    template across order-preserving id-range buckets (the fixed-
+    width ``img%012d`` ids make the numeric suffix order-equivalent
+    to the string order) and reassembles the EXACT global rank from
+    local ranks + cumulative bucket counts — same output, no
+    single-reducer sort. Output (image_id, canonical_id, tpl_hash,
+    tpl_rank, keep).
     """
-    from pyspark.sql import Window
-
     from s2spark.text import md5_int64
+    from s2spark.windows import bucketed_row_number
 
     comp = image_components(images)
     tpl = F.regexp_replace("caption", "[0-9]+", "#")
     cap = images.select("image_id", md5_int64(tpl).alias("tpl_hash"))
-    w = Window.partitionBy("tpl_hash").orderBy("image_id")
-    cap = cap.withColumn("tpl_rank",
-                         F.row_number().over(w).cast("int"))
+    id_num = F.regexp_replace("image_id", "[^0-9]", "").cast("long")
+    cap = bucketed_row_number(cap, ["tpl_hash"], id_num, ["image_id"],
+                              rank_name="tpl_rank")
     return comp.join(cap, "image_id").select(
         "image_id", "canonical_id", "tpl_hash", "tpl_rank",
         ((F.col("image_id") == F.col("canonical_id"))

@@ -989,6 +989,9 @@ SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
 """
 
 
+KEEP_BEST_SALT = 16   # stage-1 slices per cluster in dedup_keep_best
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-AWARE canonical selection: production dedup keeps the
     BEST document of each near-dup cluster, not the smallest id —
@@ -998,8 +1001,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`quality_score`; one window per cluster picks the max-
     quality doc (doc_id ascending tie-break, deterministic).
 
-    Scale shape: the components join + ONE window shuffle on the
-    cluster key (cluster sizes are near-dup-bounded, no skew blowup).
+    Scale shape (VERDICT r4 item 2 — no unbounded per-key window): a
+    single ``row_number() OVER (PARTITION BY canonical_id)`` sorts
+    each whole cluster on ONE reducer, which is exactly where a
+    giant near-dup cluster (boilerplate spam) dies at 100×. The
+    argmax is instead a salted TWO-STAGE top-1: stage 1 ranks within
+    (canonical_id, salt) — the hot cluster spreads across
+    ``KEEP_BEST_SALT`` reducers — stage 2 ranks the ≤ salt survivors
+    per cluster (a bounded window), and the winner joins back to all
+    members as a plain equi-join. The global best is its salt
+    slice's best, and the (quality DESC, doc_id ASC) order is a
+    total order, so the two-stage winner is EXACTLY the one-window
+    winner — output and oracle unchanged.
     Output: (doc_id, canonical_id, best_doc_id, keep).
     """
     from pyspark.sql import Window
@@ -1007,10 +1020,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup_components(spark, sf_dir)
     q = quality_score(spark, sf_dir).select("doc_id", "quality")
     j = comp.join(q, "doc_id")
-    w = Window.partitionBy("canonical_id") \
-        .orderBy(F.desc("quality"), F.asc("doc_id"))
-    return j.withColumn("best_doc_id",
-                        F.first("doc_id").over(w).cast("long")) \
+    order = [F.desc("quality"), F.asc("doc_id")]
+    w1 = Window.partitionBy("canonical_id", "salt").orderBy(*order)
+    w2 = Window.partitionBy("canonical_id").orderBy(*order)
+    best = j.withColumn("salt", F.pmod(F.hash("doc_id"),
+                                       F.lit(KEEP_BEST_SALT))) \
+        .withColumn("r1", F.row_number().over(w1)) \
+        .where(F.col("r1") == 1) \
+        .withColumn("r2", F.row_number().over(w2)) \
+        .where(F.col("r2") == 1) \
+        .select("canonical_id", F.col("doc_id").cast("long")
+                .alias("best_doc_id"))
+    return j.join(best, "canonical_id") \
         .select("doc_id", "canonical_id", "best_doc_id",
                 (F.col("doc_id") == F.col("best_doc_id")).alias("keep"))
 
