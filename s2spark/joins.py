@@ -380,6 +380,16 @@ def cell_containment_join(cells: DataFrame, container: DataFrame,
 # kNN via progressive neighbor rings (SURVEY.md §2.5 row kNN)
 # ---------------------------------------------------------------------------
 
+FB_RING_CAP = 32   # max rings a bounded kNN-fallback straggler may
+#                    expand to ((2·32+1)² ≈ 4.2k tiles per query);
+#                    wider proven bounds take the all-tiles path
+
+LAST_KNN_FALLBACK: dict | None = None   # which fallback arms the most
+#                    recent knn_join_df run took (None: no fallback) —
+#                    test observability, set from already-computed
+#                    isEmpty probes at no extra cost
+
+
 def knn_auto_level(n_points: int, k_max: int) -> int:
     """ring level from global density: aim for ~k_max/2 points per
     cell. Exactness never depends on the level — only work does: the
@@ -445,6 +455,8 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
     import os as _os, time as _time
     _dbg = _os.environ.get("S2_KNN_DEBUG")
     _te = _time.time()
+    global LAST_KNN_FALLBACK
+    LAST_KNN_FALLBACK = None
 
     spark = points.sparkSession
     if level is None:
@@ -607,19 +619,64 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
     if g == 0 or not active.isEmpty():
         # stragglers that never certified. bound >= pi: their last
         # ranked set already held every reachable point — emit it.
-        # Otherwise (rounds exhausted / max_rounds == 0): brute force
-        # over all occupied tiles, no broadcast hint (the tile set is
-        # the whole table's).
         if g > 0 and safe_chord2(r) >= 4.0:
             out_parts.append(_topk(ranked, active))
-        else:
-            cand = active.crossJoin(pts.select("tile").distinct()) if g \
-                else q.select("query_id").crossJoin(
-                    pts.select("tile").distinct())
+        elif g == 0:
+            # max_rounds == 0 degenerate: no ring stats exist — brute
+            # force over all occupied tiles, no broadcast hint.
+            cand = q.select("query_id").crossJoin(
+                pts.select("tile").distinct())
             fb = _ranked(cand.dropDuplicates(["query_id", "tile"]),
                          hint=False).persist()
             cached.append(fb)
             out_parts.append(_topk(fb))
+        else:
+            # BOUNDED fallback (VERDICT r4 item 3): a straggler with
+            # >= kq candidates has a PROVEN upper bound on its true
+            # k-th distance — its current k-th chord² can only improve
+            # with more candidates — so every true top-k point lies
+            # within theta_ub = 2·asin(√kth/2) of the center, i.e.
+            # inside the disk of ceil(theta_ub/min_width)+1 rings
+            # (outside disk(r) ⇒ dist > r·min_width ≥ theta_ub; +1
+            # ring absorbs float rounding). Its candidate set is that
+            # covering-disk EQUI-join, not a cross join against all
+            # occupied tiles. Only stragglers with < kq candidates
+            # anywhere in the exhausted disk (ultra-sparse data) or a
+            # bound wider than FB_RING_CAP rings still scan everything.
+            from s2spark.udfs import s2_disk_expand_var_udf
+            theta = 2.0 * F.asin(F.least(F.sqrt("kth") / F.lit(2.0),
+                                         F.lit(1.0)))
+            rings = (F.ceil(theta / F.lit(float(min_width)))
+                     + F.lit(1)).cast("int")
+            stg = st.join(F.broadcast(active), "query_id", "left_semi")
+            bounded = stg.where(F.col("kth").isNotNull()) \
+                .select("query_id", rings.alias("rings")) \
+                .where(F.col("rings") <= F.lit(FB_RING_CAP))
+            unb = active.join(F.broadcast(bounded.select("query_id")),
+                              "query_id", "left_anti")
+            has_bounded, has_unb = (not bounded.isEmpty(),
+                                    not unb.isEmpty())
+            LAST_KNN_FALLBACK = {      # isEmpty probes run regardless
+                "bounded": has_bounded, "unbounded": has_unb}
+            if _dbg:
+                print(f"[knn] fallback bounded={has_bounded} "
+                      f"unbounded={has_unb}", flush=True)
+            if has_bounded:
+                bq = q.join(F.broadcast(bounded), "query_id")
+                cand_b = bq.select(
+                    "query_id",
+                    F.explode(s2_disk_expand_var_udf(level)
+                              (F.array("tile"), F.col("rings")))
+                    .alias("tile"))
+                fb_b = _ranked(cand_b).persist()
+                cached.append(fb_b)
+                out_parts.append(_topk(fb_b))
+            if has_unb:
+                cand_u = unb.crossJoin(pts.select("tile").distinct())
+                fb_u = _ranked(cand_u.dropDuplicates(
+                    ["query_id", "tile"]), hint=False).persist()
+                cached.append(fb_u)
+                out_parts.append(_topk(fb_u))
 
     # eagerly checkpoint the SMALL result (<= sum of k) so every
     # intermediate cache can be released before returning — no persist

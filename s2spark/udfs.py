@@ -84,6 +84,42 @@ def s2_disk_expand_udf(lvl: int, steps: int):
     return _disk
 
 
+def s2_disk_expand_var_udf(lvl: int):
+    """UDF factory: like :func:`s2_disk_expand_udf` but with a PER-ROW
+    ring count column (the bounded kNN straggler fallback — VERDICT r4
+    item 3: each straggler expands to the disk covering its own proven
+    max feasible radius, not to every occupied tile). Rows are grouped
+    by their step value so each distinct count pays one vectorized
+    ``disk_expand_owned`` pass; straggler sets are small and their
+    distinct ring counts few."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _disk(tiles: pd.Series, steps: pd.Series) -> pd.Series:
+        res: list = [None] * len(tiles)
+        st = steps.to_numpy(np.int64)
+        for s in np.unique(st):
+            idx = np.nonzero(st == s)[0]
+            sub = tiles.iloc[idx]
+            lens = np.fromiter((len(t) for t in sub), dtype=np.int64,
+                               count=len(idx))
+            if lens.sum() == 0:
+                for i in idx:
+                    res[i] = []
+                continue
+            owner = np.repeat(np.arange(len(idx), dtype=np.int64), lens)
+            cells = np.concatenate([np.asarray(t, dtype=np.int64)
+                                    for t in sub]).view(np.uint64)
+            owner, cells = cellops.disk_expand_owned(owner, cells, lvl,
+                                                     int(s))
+            bounds = np.searchsorted(owner, np.arange(1, len(idx)))
+            for i, chunk in zip(idx,
+                                np.split(cells.view(np.int64), bounds)):
+                res[i] = chunk.tolist()
+        return pd.Series(res)
+
+    return _disk
+
+
 def s2_vertex_neighbors_udf(lvl: int):
     """UDF factory: array of the 3-4 vertex neighbors at the coarser
     level ``lvl`` (``CellId.get_vertex_neighbors``) — reference order

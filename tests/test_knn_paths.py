@@ -72,6 +72,49 @@ def test_knn_max_rounds_zero_brute_force(spark, sparse_points):
     assert got == _brute(rows, QUERIES)
 
 
+def test_knn_fallback_bounded_no_crossjoin(spark, monkeypatch):
+    """a ring of points past the 1-ring certification bound with
+    max_rings=1: the query finds >= k candidates but cannot certify,
+    so it takes the BOUNDED fallback — a covering-disk EQUI-join
+    sized by its proven kth upper bound, not a cross join against
+    all occupied tiles (VERDICT r4 item 3). crossJoin is patched on
+    the concrete (classic) DataFrame class to fail loudly."""
+    import math
+
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    delta = 0.03
+    rows = [(int(i), float(10.2 + delta * math.sin(a)),
+             float(20.2 + delta * math.cos(a)))
+            for i, a in enumerate(
+                np.linspace(0, 2 * np.pi, 12, endpoint=False))]
+    rows += [(100 + i, float(12.0 + 0.1 * i), float(22.0 + 0.07 * i))
+             for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "point_id long, lat double, lng double")
+    queries = [(0, 10.2, 20.2, 3)]
+
+    def _no_cross(self, other):
+        raise AssertionError("bounded kNN fallback must not crossJoin")
+
+    monkeypatch.setattr(CDF, "crossJoin", _no_cross)
+    got = sorted(map(tuple, J.knn_join(spark, df, queries, level=11,
+                                       max_rings=1).collect()))
+    assert J.LAST_KNN_FALLBACK == {"bounded": True, "unbounded": False}
+    assert got == _brute(rows, queries)
+
+
+def test_knn_fallback_unbounded_arm_still_exact(spark, sparse_points):
+    """worldwide-sparse at a fine level: ring-1 disks hold < k
+    candidates, so no kth upper bound exists and the stragglers take
+    the (rare) all-tiles arm — still exact."""
+    rows, df = sparse_points
+    got = sorted(map(tuple, J.knn_join(spark, df, QUERIES, level=13,
+                                       max_rings=1).collect()))
+    assert J.LAST_KNN_FALLBACK == {"bounded": False, "unbounded": True}
+    assert got == _brute(rows, QUERIES)
+
+
 def test_knn_per_query_k(spark, sparse_points):
     rows, df = sparse_points
     got = J.knn_join(spark, df, QUERIES, level=4).collect()
