@@ -173,6 +173,31 @@ def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows", "sum_qty")
 
 
+def _q_tile_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approximate-distinct tile rollup (VERDICT r4 stretch): ONE
+    per-fine-tile HLL sketch pass, coarse level = sketch UNION (no
+    fact rescan — the hypertable rollup scale path). Approximate, so
+    no SQL oracle; gated by its hash-oracled exact twin
+    `tile_rollup_sketch_exact` + the pytest error bound
+    (tests/test_sketches.py), the image_tile_stats pattern."""
+    from s2spark import sketches as SK
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(synth.synth_cell_col().alias("cell_id"),
+                   F.col("l_partkey"))
+    return SK.tile_distinct_rollup(df, "cell_id", "l_partkey")
+
+
+def _q_tile_rollup_sketch_exact(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """exact twin of `tile_rollup_sketch`: true count_distinct per
+    (level, tile) — full value-hash SQL oracle."""
+    from s2spark import sketches as SK
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(synth.synth_cell_col().alias("cell_id"),
+                   F.col("l_partkey"))
+    return SK.tile_distinct_rollup_exact(df, "cell_id", "l_partkey")
+
+
 def _q_pip_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """point-in-region via broadcast interval-stab join + exact verify
     (SURVEY §2.5a); oracle = brute-force exact geometry."""
@@ -638,91 +663,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from s2spark import ann as A
     from s2spark import text as T
     raw = {
-        # --- geo / tiling / joins (SURVEY §2.1–2.7) ---
+        # r5 rotation (VERDICT r4 item 5): the driver certifies the
+        # FIRST 50 keys, so the window leads with the keys LONGEST
+        # uncertified — the 5 last green in r2, then the 18 last green
+        # in r3, then this round's new + changed queries; the tail is
+        # r4-certified rows. Every registry key is then certified
+        # within the last two rounds.
+        # --- last driver-certified in r2 ---
+        "image_tile_stats_exact": _q_image_tile_stats_exact,
+        "pricing_summary": _q_pricing_summary,
+        "tile_setops": _q_tile_setops,
+        "top_customers": _q_top_customers,
+        "top_tiles": _q_top_tiles,
+        # --- last driver-certified in r3 ---
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "ann_lsh_buckets": A.lsh_buckets,
+        "cell_children": _q_cell_children,
+        "cellunion_intersect": _q_cellunion_intersect,
+        "dedup_exact": T.dedup_exact,
+        "dedup_ngram_jaccard": T.ngram_jaccard_pairs,
+        "fingerprint": T.fingerprint,
+        "image_components": _q_image_components,
+        "lang_id": T.lang_id,
+        "neighbors": _q_neighbors,
+        "pii_scan": _q_pii_scan,
+        "simhash": T.simhash,
+        "stratified_sample": _q_stratified_sample,
+        "tile_enumerate": _q_tile_enumerate,
+        "tile_rollup": _q_tile_rollup,
+        "token_count": T.token_count,
+        "token_roundtrip": _q_knn_tokens,
+        "vertex_neighbors": _q_vertex_neighbors,
+        # --- new in r5 (HLL rollup + its exact-twin gate) ---
+        "tile_rollup_sketch": _q_tile_rollup_sketch,
+        "tile_rollup_sketch_exact": _q_tile_rollup_sketch_exact,
+        # --- changed in r5 (de-skew / salt-probe / bounded fallback) ---
+        "multimodal_dedup": _q_multimodal_dedup,
+        "dedup_keep_best": T.dedup_keep_best,
+        "image_phash_neardup": _q_image_phash_neardup,
+        "simhash_pairs": T.simhash_pairs,
+        "knn": _q_knn,
+        "knn_many": _q_knn_many,
+        # --- r4-certified fill (composition siblings + ANN/image) ---
+        "dedup_components": _q_dedup_components,
+        "corpus_curation": _q_corpus_curation,
+        "dedup_minhash_lsh": T.minhash_lsh_pairs,
+        "decontaminate": T.decontaminate,
+        "repetition_ratio": T.repetition_ratio,
+        "distance_join": _q_distance_join,
+        "embedding_components": _q_embedding_components,
+        "embedding_similar_pairs": A.embedding_cosine_dedup,
+        "ann_bruteforce": A.ann_bruteforce_topk,
+        "ann_lsh": A.ann_lsh_topk,
+        "ann_ivf_buckets": _q_ann_ivf_buckets,
+        "ann_ivf": _q_ann_ivf,
+        "pq_codes": _q_pq_codes,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
+        "image_verify": _q_image_verify,
+        "image_resize": _q_image_resize,
+        "image_pip": _q_image_pip,
+        "image_tile_stats": _q_image_tile_stats,
+        # --- tail (beyond the driver's 50-row cap): all certified in
+        # the r4 driver window ---
         "tile_assign": _q_tile_assign,
         "cell_algebra": _q_cell_algebra,
         "bigram_model": _q_bigram_model,
         "source_stats": _q_source_stats,
-        "multimodal_dedup": _q_multimodal_dedup,
         "lm_quality": _q_lm_quality,
-        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
         "event_props": _q_event_props,
         "nation_revenue": _q_nation_revenue,
+        "brand_revenue": _q_brand_revenue,
         "pip_broadcast": _q_pip_broadcast,
         "pip_bucketed": _q_pip_bucketed,
         "pip_salted": _q_pip_salted,
         "pip_planned": _q_pip_planned,
         "pip_polygon": _q_pip_polygon,
-        "knn_many": _q_knn_many,
-        "distance_join": _q_distance_join,
         "pip_buffered": _q_pip_buffered,
         "pip_anti": _q_pip_anti,
         "region_stats": _q_region_stats,
-        "knn": _q_knn,
         "raster_vector": _q_raster_vector,
-        # --- training-data ops: dedup / text / similarity ---
-        "repetition_ratio": T.repetition_ratio,
-        "brand_revenue": _q_brand_revenue,
-        "dedup_minhash_lsh": T.minhash_lsh_pairs,
-        "simhash_pairs": T.simhash_pairs,
-        # r4 rotation (VERDICT r3 item 2): the driver certifies the
-        # FIRST 50 keys; audio/video/window/session queries swap in for
-        # four long-stable rows (lang_id, token_count, fingerprint,
-        # ann_lsh_buckets -> tail) so every query has had at least one
-        # driver CORRECTNESS row
         "audio_features": _q_audio_features,
-        "quality_score": T.quality_score,
         "video_frames": _q_video_frames,
+        "quality_score": T.quality_score,
         "events_window": _q_events_window,
-        "ann_bruteforce": A.ann_bruteforce_topk,
         "event_sessions": _q_event_sessions,
         "event_pairs": _q_event_pairs,
-        "ann_lsh": A.ann_lsh_topk,
-        "embedding_similar_pairs": A.embedding_cosine_dedup,
-        "embedding_components": _q_embedding_components,
-        "dedup_components": _q_dedup_components,
-        "decontaminate": T.decontaminate,
-        "dedup_keep_best": T.dedup_keep_best,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "token_quantiles": _q_token_quantiles,
-        "corpus_curation": _q_corpus_curation,
-        "ann_ivf_buckets": _q_ann_ivf_buckets,
-        "ann_ivf": _q_ann_ivf,
-        "pq_codes": _q_pq_codes,
-        "ann_ivfpq": _q_ann_ivfpq,
-        # --- image payload pipeline (SURVEY §2.9; rows-only: bytes
-        # are engine-generated, codecs not SQL-expressible) ---
-        "image_verify": _q_image_verify,
-        "image_tile_stats": _q_image_tile_stats,
-        "image_resize": _q_image_resize,
-        "image_phash_neardup": _q_image_phash_neardup,
-        "image_pip": _q_image_pip,
-        "image_components": _q_image_components,
-        "ann_ivf_recall": _q_ann_ivf_recall,
-        "image_tile_stats_exact": _q_image_tile_stats_exact,
-        # --- relational / streaming-twin (SURVEY §2.8, §2.10) ---
-        "top_tiles": _q_top_tiles,
-        "tile_setops": _q_tile_setops,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        # --- tail (beyond the driver's 50-row cap): queries already
-        # driver-certified in earlier rounds, rotated out in r4 ---
-        "lang_id": T.lang_id,
-        "token_count": T.token_count,
-        "fingerprint": T.fingerprint,
-        "ann_lsh_buckets": A.lsh_buckets,
-        "dedup_exact": T.dedup_exact,
-        "stratified_sample": _q_stratified_sample,
-        "pii_scan": _q_pii_scan,
-        "simhash": T.simhash,
-        "token_roundtrip": _q_knn_tokens,
-        "tile_enumerate": _q_tile_enumerate,
-        "cell_children": _q_cell_children,
-        "cellunion_intersect": _q_cellunion_intersect,
-        "tile_rollup": _q_tile_rollup,
-        "neighbors": _q_neighbors,
-        "vertex_neighbors": _q_vertex_neighbors,
-        "dedup_ngram_jaccard": T.ngram_jaccard_pairs,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
@@ -856,6 +884,7 @@ def _q_image_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_components_sql() -> str:
+    from s2spark import images as IM
     golden_imgs = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "golden", "geo_images.parquet")
     return f"""
@@ -864,7 +893,7 @@ WITH RECURSIVE g AS (SELECT image_id, phash
 p AS MATERIALIZED (
   SELECT a.image_id AS i1, b.image_id AS i2
   FROM g a JOIN g b ON a.image_id < b.image_id
-  WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+  WHERE bit_count(xor(a.phash, b.phash)) <= {IM.PHASH_HAMMING_MAX}),
 edges AS MATERIALIZED (SELECT i1 AS a, i2 AS b FROM p
                        UNION SELECT i2, i1 FROM p),
 ids AS MATERIALIZED (SELECT image_id FROM g),
@@ -965,7 +994,8 @@ def _q_image_tile_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """near-dup image pairs by phash hamming <= 7 via pigeonhole
+    """near-dup image pairs by phash hamming <= PHASH_HAMMING_MAX via
+    pigeonhole
     banding (union of band-key equi-joins, no all-pairs — the
     multimodal dedup op). Oracle: brute-force hamming over the FROZEN
     geo_images fixture phashes, so generator + phash DCT + banding
@@ -1133,6 +1163,22 @@ SELECT coalesce(tile_l4, 'ALL') AS tile_l4,
        round(sum(l_quantity), 2) AS sum_qty
 FROM tt GROUP BY ROLLUP (tile_l4, tile_l8)
 """
+    tile_rollup_sketch_exact = f"""
+WITH t AS (SELECT ({synth.SYNTH_CELL_SQL.strip()}) AS {s}, l_partkey
+           FROM lineitem),
+f AS (SELECT {synth.parent_sql(s, 8)} AS tf, l_partkey FROM t)
+SELECT CAST(8 AS INTEGER) AS level,
+       {synth.token_sql('tf')} AS tile_token,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS distinct_est
+FROM f GROUP BY tf
+UNION ALL
+SELECT CAST(4 AS INTEGER) AS level,
+       {synth.token_sql(synth.parent_sql('tf', 4))} AS tile_token,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS distinct_est
+FROM f GROUP BY {synth.parent_sql('tf', 4)}
+"""
     token_roundtrip = f"""
 WITH t AS ({_synth_base()})
 SELECT point_id, {s} AS parsed_id, TRUE AS valid FROM t
@@ -1278,6 +1324,7 @@ FROM j GROUP BY region_id, {synth.parent_sql('leaf_cell_id', 8)}
         "cell_algebra": cell_algebra,
         "cell_children": cell_children,
         "tile_rollup": tile_rollup,
+        "tile_rollup_sketch_exact": tile_rollup_sketch_exact,
         "token_roundtrip": token_roundtrip,
         "tile_enumerate": """
 WITH r AS (SELECT range AS id FROM range(6144)),

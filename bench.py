@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "ann_ivfpq", "decontaminate", "event_pairs", "dedup_keep_best",
     "knn_many", "multimodal_dedup", "lm_quality", "nation_revenue",
     "event_props",
+    # r5 additions
+    "tile_rollup_sketch",
 ]
 
 

@@ -369,7 +369,8 @@ MM_TEMPLATE_CAP = 25   # max images kept per caption template
 
 
 def multimodal_dedup(images: DataFrame,
-                     per_template_cap: int = MM_TEMPLATE_CAP) -> DataFrame:
+                     per_template_cap: int = MM_TEMPLATE_CAP,
+                     components: DataFrame | None = None) -> DataFrame:
     """CROSS-MODAL curation — the image+caption joint dedup a
     multimodal training pipeline runs: an image survives only if it is
     (a) the canonical of its VISUAL near-dup cluster (phash
@@ -390,12 +391,15 @@ def multimodal_dedup(images: DataFrame,
     to the string order) and reassembles the EXACT global rank from
     local ranks + cumulative bucket counts — same output, no
     single-reducer sort. Output (image_id, canonical_id, tpl_hash,
-    tpl_rank, keep).
+    tpl_rank, keep). ``components`` lets a caller that already
+    materialized :func:`image_components` compose instead of
+    recomputing (VERDICT r4 item 6).
     """
     from s2spark.text import md5_int64
     from s2spark.windows import bucketed_row_number
 
-    comp = image_components(images)
+    comp = (components if components is not None
+            else image_components(images))
     tpl = F.regexp_replace("caption", "[0-9]+", "#")
     cap = images.select("image_id", md5_int64(tpl).alias("tpl_hash"))
     id_num = F.regexp_replace("image_id", "[^0-9]", "").cast("long")
@@ -420,16 +424,22 @@ def image_tile_stats(images: DataFrame, level: int = 8) -> DataFrame:
 
 
 def image_components(images: DataFrame,
-                     max_hamming: int = PHASH_HAMMING_MAX) -> DataFrame:
+                     max_hamming: int = PHASH_HAMMING_MAX,
+                     pairs: DataFrame | None = None) -> DataFrame:
     """canonical image per phash-near-dup CLUSTER — the image-side
     twin of ``text.dedup_components``: connected components over the
     banded hamming pair graph via the shared pointer-doubling
     min-label engine (string ids order lexicographically; the fixed-
     width ``img%012d`` ids make that identical to numeric order).
-    Output (image_id, canonical_id)."""
+    ``pairs`` lets a caller that already materialized
+    :func:`phash_neardup_pairs` (i1, i2[, hamming]) compose instead
+    of recomputing (VERDICT r4 item 6). Output (image_id,
+    canonical_id)."""
     from s2spark.text import _components
-    pairs = phash_neardup_pairs(images, max_hamming) \
-        .select(F.col("i1").alias("d1"), F.col("i2").alias("d2"))
+    if pairs is None:
+        pairs = phash_neardup_pairs(images, max_hamming)
+    pairs = pairs.select(F.col("i1").alias("d1"),
+                         F.col("i2").alias("d2"))
     ids = images.select(F.col("image_id").alias("doc_id")).distinct()
     return _components(ids, pairs) \
         .select(F.col("doc_id").alias("image_id"), "canonical_id")

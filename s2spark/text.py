@@ -992,7 +992,8 @@ SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
 KEEP_BEST_SALT = 16   # stage-1 slices per cluster in dedup_keep_best
 
 
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_best(spark: SparkSession, sf_dir: str,
+                    components: DataFrame | None = None) -> DataFrame:
     """QUALITY-AWARE canonical selection: production dedup keeps the
     BEST document of each near-dup cluster, not the smallest id —
     min-id canonicalization silently prefers whichever crawl happened
@@ -1014,10 +1015,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, so the two-stage winner is EXACTLY the one-window
     winner — output and oracle unchanged.
     Output: (doc_id, canonical_id, best_doc_id, keep).
+    ``components`` lets a caller that already materialized
+    :func:`dedup_components` compose instead of recomputing.
     """
     from pyspark.sql import Window
 
-    comp = dedup_components(spark, sf_dir)
+    comp = (components if components is not None
+            else dedup_components(spark, sf_dir))
     q = quality_score(spark, sf_dir).select("doc_id", "quality")
     j = comp.join(q, "doc_id")
     order = [F.desc("quality"), F.asc("doc_id")]
