@@ -82,6 +82,40 @@ def user_sessions(events: DataFrame,
                 "sum_value")
 
 
+def windowed_tile_user_sketch(events: DataFrame,
+                              watermark: str = "30 minutes",
+                              lg_k: int = 12) -> DataFrame:
+    """per-(window, tile) APPROXIMATE distinct users via HLL sketches
+    — the streaming twin of ``sketches.tile_distinct_rollup`` (r5):
+    ``hll_sketch_agg`` is a mergeable typed aggregate, so it runs
+    inside a watermarked streaming aggregation with bounded state
+    (2^lg_k registers per open (window, tile) group) where an exact
+    count_distinct would need unbounded per-group key state. HLL
+    register maxima are order- and partitioning-independent, so the
+    stream result is bit-equal to the batch run (pinned in
+    tests/test_streaming.py), and the batch run is error-gated
+    against exact count_distinct."""
+    df = geo_events(events)
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy(F.window("ts", "10 minutes").start.alias("win_start"),
+                      "tile_token") \
+        .agg(F.count("*").alias("n_events"),
+             F.hll_sketch_estimate(
+                 F.hll_sketch_agg("user_id", F.lit(lg_k)))
+             .cast("long").alias("user_est"))
+
+
+def run_user_sketch_to_memory(spark: SparkSession, events_dir: str,
+                              name: str = "tile_user_sketch"
+                              ) -> DataFrame:
+    q = windowed_tile_user_sketch(read_events_stream(spark, events_dir)) \
+        .writeStream.format("memory").queryName(name) \
+        .outputMode("complete").trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_sessions_to_memory(spark: SparkSession, events_dir: str,
                            name: str = "user_sessions") -> DataFrame:
     q = user_sessions(read_events_stream(spark, events_dir)) \

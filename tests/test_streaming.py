@@ -302,3 +302,35 @@ def test_json_props_extraction_on_stream(spark, sf_dir, tmp_path):
     q.awaitTermination()
     got = sorted(tuple(r) for r in spark.table("props_test").collect())
     assert got == expected
+
+
+def test_stream_user_sketch_matches_batch_and_gates_exact(
+        spark, sf_dir, tmp_path):
+    """r5 HLL streaming twin: the stream run must be BIT-EQUAL to the
+    batch run (HLL register maxima are order/partitioning
+    independent), and the batch estimates must track exact
+    count_distinct within the lg_k=12 error bound."""
+    import pyspark.sql.functions as F
+
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = str(tmp_path / "ev_sketch")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
+
+    batch = ST.windowed_tile_user_sketch(spark.read.parquet(src))
+    expected = sorted(tuple(r) for r in batch.collect())
+    got_df = ST.run_user_sketch_to_memory(spark, stream_dir,
+                                          name="tus_test")
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert len(got) > 0
+    assert got == expected
+
+    exact = ST.geo_events(spark.read.parquet(src)) \
+        .groupBy(F.window("ts", "10 minutes").start.alias("win_start"),
+                 "tile_token") \
+        .agg(F.count_distinct("user_id").alias("user_exact"))
+    e = {(r["win_start"], r["tile_token"]): r["user_exact"]
+         for r in exact.collect()}
+    for win, tok, _, est in expected:
+        ex = e[(win, tok)]
+        assert abs(est - ex) <= max(1, 0.05 * ex), (tok, est, ex)
