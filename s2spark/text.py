@@ -1035,7 +1035,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
         .where(F.col("r2") == 1) \
         .select("canonical_id", F.col("doc_id").cast("long")
                 .alias("best_doc_id"))
-    return j.join(best, "canonical_id") \
+    # `best` is checkpoint-shaped (windows over a components join — no
+    # stats), so Catalyst would sort-merge; one row per cluster can be
+    # too big to broadcast at scale, but a shuffle-hash join skips
+    # both sorts and stays scale-safe.
+    return j.join(best.hint("shuffle_hash"), "canonical_id") \
         .select("doc_id", "canonical_id", "best_doc_id",
                 (F.col("doc_id") == F.col("best_doc_id")).alias("keep"))
 
