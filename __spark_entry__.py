@@ -390,8 +390,14 @@ def _q_knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("point_id").alias("query_id")) \
         .agg(F.min("lat").alias("lat"), F.min("lng").alias("lng"))
     # level=None -> density-calibrated tile level (perf-only; the
-    # ring certification is exact at any level)
-    return J.knn_join_df(pts, q, level=None, k=FX.KNN_MANY_K)
+    # ring certification is exact at any level). init_rings=3: since
+    # the r4 exponential-growth + certified-emission restructure the
+    # 3-ring opening finishes in TWO driver rounds instead of three
+    # (r5 measured 8.25s -> 7.32s warm at sf0.1 / local[32]; the r3
+    # note about 3-ring openings quintupling wall time predates the
+    # restructure and no longer holds)
+    return J.knn_join_df(pts, q, level=None, k=FX.KNN_MANY_K,
+                         init_rings=3)
 
 
 def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:

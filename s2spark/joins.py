@@ -424,10 +424,11 @@ def knn_join(spark: SparkSession, points: DataFrame,
          for qid, la, ln, k in queries],
         "query_id long, lat double, lng double, k int")
     # small query set -> driver-ROUND latency dominates, so open with
-    # 3 rings and certify in one round; the large-query-set DataFrame
-    # path keeps init_rings=1 (candidate volume dominates there — a
-    # 3-ring opening quintuples every query's candidates, ~5x wall
-    # time at 600 queries x 600k points)
+    # 3 rings and certify in one round. (The DataFrame path's default
+    # stays init_rings=1, but since the r4 exponential-growth +
+    # certified-emission restructure a 3-ring opening also wins for
+    # large query sets — r5 measured 8.25s -> 7.32s at 6k queries x
+    # 600k points; the old ~5x-wall warning predates the restructure)
     return knn_join_df(points, q, level=level, max_rounds=max_rings,
                        init_rings=3)
 
