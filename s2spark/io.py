@@ -50,8 +50,18 @@ def read_manifest(path: str) -> dict:
     mp = _manifest_path(path)
     if os.path.exists(mp):
         with open(mp) as f:
-            return json.load(f)
-    return {"chunks": {}, "created": time.time()}
+            m = json.load(f)
+        m.setdefault("snapshots", [])   # pre-r5 manifests
+        return m
+    return {"chunks": {}, "snapshots": [], "created": time.time()}
+
+
+def snapshots(path: str) -> list[dict]:
+    """the table's committed snapshot log (Iceberg-parity surface):
+    one entry per chunk commit — {snapshot_id, committed_at, chunks}
+    — chunk sets strictly grow, so any prefix is a consistent
+    earlier table state."""
+    return list(read_manifest(path)["snapshots"])
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -108,6 +118,15 @@ def checkpointed_write(spark: SparkSession, df_for_chunk, path: str,
             "committed_at": time.time(),
             "lineage": {"chunk": chunk, "num_chunks": num_chunks},
         }
+        # snapshot log (Iceberg-parity, r5): every commit appends the
+        # full committed-chunk set under a monotonically increasing
+        # id — `read_checkpointed(as_of=...)` time-travels to any of
+        # them. The manifest rewrite stays one atomic os.replace.
+        manifest["snapshots"].append({
+            "snapshot_id": len(manifest["snapshots"]) + 1,
+            "committed_at": manifest["chunks"][key]["committed_at"],
+            "chunks": sorted(int(k) for k in manifest["chunks"]),
+        })
         _write_manifest(path, manifest)
         results.append(ChunkResult(chunk, rows, skipped=False))
         done += 1
@@ -117,11 +136,25 @@ def checkpointed_write(spark: SparkSession, df_for_chunk, path: str,
     return results
 
 
-def read_checkpointed(spark: SparkSession, path: str) -> DataFrame:
+def read_checkpointed(spark: SparkSession, path: str,
+                      as_of: int | None = None) -> DataFrame:
     """read only manifest-committed chunks (snapshot isolation: an
-    uncommitted chunk directory is invisible)."""
+    uncommitted chunk directory is invisible). ``as_of`` TIME-TRAVELS
+    to an earlier snapshot id from :func:`snapshots` — committed
+    chunk directories are immutable, so reading an old snapshot's
+    chunk set reproduces that table state exactly (the Iceberg
+    `VERSION AS OF` surface on the fallback sink)."""
     manifest = read_manifest(path)
-    chunks = sorted(int(k) for k in manifest["chunks"])
+    if as_of is None:
+        chunks = sorted(int(k) for k in manifest["chunks"])
+    else:
+        matches = [s for s in manifest["snapshots"]
+                   if s["snapshot_id"] == as_of]
+        if not matches:
+            raise ValueError(
+                f"no snapshot {as_of} under {path}; have "
+                f"{[s['snapshot_id'] for s in manifest['snapshots']]}")
+        chunks = matches[0]["chunks"]
     if not chunks:
         raise ValueError(f"no committed chunks under {path}")
     dirs = [os.path.join(path, f"chunk={c}") for c in chunks]

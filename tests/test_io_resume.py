@@ -129,3 +129,35 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+
+
+def test_snapshot_log_and_time_travel(spark, sf_dir, tmp_path):
+    """r5 Iceberg-parity surface: every chunk commit appends a
+    snapshot; reading `as_of` an earlier snapshot reproduces exactly
+    that table state (committed chunk dirs are immutable), including
+    across a crash + resume."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "snap")
+    fn = _chunk_fn(spark, sf_dir)
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        SIO.checkpointed_write(spark, fn, out, N_CHUNKS, fail_after=2)
+    SIO.checkpointed_write(spark, fn, out, N_CHUNKS)
+
+    snaps = SIO.snapshots(out)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2, 3, 4]
+    # chunk sets strictly grow and are prefixes of each other
+    for a, b in zip(snaps, snaps[1:]):
+        assert set(a["chunks"]) < set(b["chunks"])
+
+    m = SIO.read_manifest(out)
+    for s in snaps:
+        df = SIO.read_checkpointed(spark, out, as_of=s["snapshot_id"])
+        expect = sum(m["chunks"][str(c)]["rows"] for c in s["chunks"])
+        assert df.count() == expect
+    # latest == as_of last snapshot == plain read
+    latest = SIO.read_checkpointed(spark, out)
+    assert SIO.result_fingerprint(latest) == SIO.result_fingerprint(
+        SIO.read_checkpointed(spark, out, as_of=snaps[-1]["snapshot_id"]))
+    with _pytest.raises(ValueError, match="no snapshot 99"):
+        SIO.read_checkpointed(spark, out, as_of=99)
