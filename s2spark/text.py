@@ -940,7 +940,14 @@ def _components(docs: DataFrame, pairs: DataFrame,
     # knn_join_df round-latency pattern (VERDICT r3 item 1)
     edges = e.unionAll(e.select(F.col("b").alias("a"),
                                 F.col("a").alias("b"))).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")) \
+    # r5: iterate ONLY over nodes that appear in some pair — a node
+    # with no edge can never change label, so it short-circuits to
+    # canonical_id = doc_id in the final projection. Near-dup pairs
+    # are far rarer than documents at corpus scale, so every round's
+    # joins/shuffles carry |edge nodes| rows instead of |corpus|.
+    # (edges holds both directions, so column `a` covers all nodes.)
+    nodes = edges.select(F.col("a").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")) \
         .localCheckpoint(eager=False)
     converged = False
     for _ in range(max_iters):
@@ -971,7 +978,8 @@ def _components(docs: DataFrame, pairs: DataFrame,
         raise RuntimeError(
             f"dedup_components did not converge in {max_iters} rounds "
             "(near-dup chain diameter > 2^rounds); raise max_iters")
-    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("canonical_id"))
 
 
 def dedup_components_sql() -> str:
