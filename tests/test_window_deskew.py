@@ -94,3 +94,7 @@ def test_dedup_keep_best_first_stage_salted(spark, sf_dir):
     plan = _plan(T.dedup_keep_best(spark, sf_dir))
     assert re.search(
         r"windowspecdefinition\(canonical_id#\d+L?, salt#", plan)
+    # the winner join-back must be the hinted shuffle-hash join (the
+    # stats-less best table would otherwise sort-merge; broadcast
+    # would not be scale-safe at one-row-per-cluster cardinality)
+    assert "ShuffledHashJoin" in plan
