@@ -186,11 +186,19 @@ def main() -> None:
     levels = [CPUS] if CPUS not in (lo_cores, hi_cores) else []
     levels += [hi_cores, lo_cores] if RUN_SCALING else [hi_cores]
     for cores in levels:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship",
-             str(cores), str(SCALE_ROWS), pts_path],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship",
+                 str(cores), str(SCALE_ROWS), pts_path],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.CalledProcessError as err:
+            # surface the subprocess failure instead of swallowing it
+            sys.stderr.write(
+                f"[bench] flagship local[{cores}] failed "
+                f"(rc={err.returncode}); stderr tail:\n"
+                + "\n".join((err.stderr or "").splitlines()[-30:]) + "\n")
+            raise
         payload = json.loads(r.stdout.strip().splitlines()[-1])
         timings[cores] = payload["sec"]
         medians[cores] = payload["median_sec"]
