@@ -15,8 +15,15 @@ import math
 from dataclasses import dataclass
 
 from s2spark import geometry as G
+# one-stop reference-shaped import surface: the region/coverer types
+# live in their own modules; re-export them so `from s2spark.api
+# import Cap, RegionCoverer, ...` mirrors `from s2sphere import ...`
+from s2spark.coverer import RegionCoverer  # noqa: F401
+from s2spark.geometry import (  # noqa: F401
+    Cap, Cell, CellUnion, LatLngRect, R1Interval, S1Interval)
 
-__all__ = ["Angle", "LatLng", "CellId"]
+__all__ = ["Angle", "LatLng", "CellId", "Cap", "Cell", "CellUnion",
+           "LatLngRect", "R1Interval", "S1Interval", "RegionCoverer"]
 
 
 @dataclass(frozen=True, order=True)
