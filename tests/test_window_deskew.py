@@ -98,3 +98,20 @@ def test_dedup_keep_best_first_stage_salted(spark, sf_dir):
     # stats-less best table would otherwise sort-merge; broadcast
     # would not be scale-safe at one-row-per-cluster cardinality)
     assert "ShuffledHashJoin" in plan
+
+
+def test_bucketed_row_number_stale_bounds_still_exact(spark):
+    """caller-supplied bounds narrower than the data (stale stats at
+    scale): width_bucket clamps out-of-range values to buckets 0 and
+    n+1, which is still MONOTONE wrt the order — ranks must remain
+    exact, only the spread degrades."""
+    rows = [("k", int(v)) for v in
+            np.random.default_rng(9).permutation(2000)]
+    df = spark.createDataFrame(rows, "key string, v long")
+    got = sorted(map(tuple, bucketed_row_number(
+        df, ["key"], F.col("v"), ["v"], n_buckets=8,
+        bounds=(500, 1000)).collect()))
+    w = Window.partitionBy("key").orderBy("v")
+    exp = sorted(map(tuple, df.withColumn(
+        "rnk", F.row_number().over(w).cast("int")).collect()))
+    assert got == exp
