@@ -402,7 +402,12 @@ def multimodal_dedup(images: DataFrame,
             else image_components(images))
     tpl = F.regexp_replace("caption", "[0-9]+", "#")
     cap = images.select("image_id", md5_int64(tpl).alias("tpl_hash"))
-    id_num = F.regexp_replace("image_id", "[^0-9]", "").cast("long")
+    # coalesce the surrogate: an id with no digits yields NULL here and
+    # width_bucket(NULL) would silently drop the row at the bucket join
+    # (ADVICE r5 item 2) — bucket 0 keeps it, and exactness only needs
+    # monotonicity over the ids that DO order by their numeric suffix
+    id_num = F.coalesce(
+        F.regexp_replace("image_id", "[^0-9]", "").cast("long"), F.lit(0))
     cap = bucketed_row_number(cap, ["tpl_hash"], id_num, ["image_id"],
                               rank_name="tpl_rank")
     return comp.join(cap, "image_id").select(

@@ -34,14 +34,19 @@ _FNS: dict[str, tuple[str, str, str]] = {
     "s2_parent": ("c BIGINT, l INT", "BIGINT",
                   "(c & -shiftleft(1L, 2 * (30 - l)))"
                   " | shiftleft(1L, 2 * (30 - l))"),
+    # range_max MUST parenthesize the lsb term: `c + (c & -c) - 1`
+    # parses left-associative as `(c + lsb) - 1`, and c + lsb overflows
+    # int64 under ANSI mode on any face-3 last-branch cell (e.g.
+    # 0x7000000000000000) — columns.py range_max writes id + (lsb - 1)
+    # for exactly this reason (ADVICE r5 item 1).
     "s2_range_min": ("c BIGINT", "BIGINT", "c - (c & -c) + 1"),
-    "s2_range_max": ("c BIGINT", "BIGINT", "c + (c & -c) - 1"),
+    "s2_range_max": ("c BIGINT", "BIGINT", "c + ((c & -c) - 1)"),
     "s2_contains": ("a BIGINT, b BIGINT", "BOOLEAN",
                     f"((b ^ {_I64_MIN}) >= ((a - (a & -a) + 1) ^ {_I64_MIN}))"
-                    f" AND ((b ^ {_I64_MIN}) <= ((a + (a & -a) - 1) ^ {_I64_MIN}))"),
+                    f" AND ((b ^ {_I64_MIN}) <= ((a + ((a & -a) - 1)) ^ {_I64_MIN}))"),
     "s2_intersects": ("a BIGINT, b BIGINT", "BOOLEAN",
-                      f"(((a - (a & -a) + 1) ^ {_I64_MIN}) <= ((b + (b & -b) - 1) ^ {_I64_MIN}))"
-                      f" AND (((a + (a & -a) - 1) ^ {_I64_MIN}) >= ((b - (b & -b) + 1) ^ {_I64_MIN}))"),
+                      f"(((a - (a & -a) + 1) ^ {_I64_MIN}) <= ((b + ((b & -b) - 1)) ^ {_I64_MIN}))"
+                      f" AND (((a + ((a & -a) - 1)) ^ {_I64_MIN}) >= ((b - (b & -b) + 1) ^ {_I64_MIN}))"),
     "s2_token": ("c BIGINT", "STRING",
                  "CASE WHEN c = 0 THEN 'X' ELSE "
                  "regexp_replace(lower(lpad(hex(c), 16, '0')), '0+$', '')"

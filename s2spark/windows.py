@@ -50,8 +50,13 @@ def bucketed_row_number(df: DataFrame, keys: list[str],
     if lo is None:           # empty input: any constant bucket works
         bkt = F.lit(1)
     else:
-        bkt = F.width_bucket(bucket_num, F.lit(lo), F.lit(hi + 1),
-                             F.lit(n_buckets))
+        # coalesce: width_bucket(NULL) is NULL and the (keys, _bkt)
+        # equi-join below would silently drop such rows (ADVICE r5
+        # item 2); bucket 0 sorts before every real bucket, so rows
+        # with a NULL surrogate rank first, deterministically
+        bkt = F.coalesce(
+            F.width_bucket(bucket_num, F.lit(lo), F.lit(hi + 1),
+                           F.lit(n_buckets)), F.lit(0))
     d = df.withColumn("_bkt", bkt)
     w1 = Window.partitionBy(*keys, "_bkt").orderBy(*order_cols)
     local = d.withColumn("_lr", F.row_number().over(w1))

@@ -48,6 +48,32 @@ def test_sql_fns_match_column_exprs(spark, cells):
     assert g == e
 
 
+def test_sql_fns_face3_boundary(spark, cells):
+    """ANSI-overflow regression (ADVICE r5 item 1): range_max on a
+    face-3 last-branch cell (id + lsb crosses the sign bit) must not
+    raise and must equal columns.py. Covers the level-0 face-3 cell
+    0x7000000000000000, its leaf range end 0x7fffffffffffffff, and the
+    face-5 twins on the signed side."""
+    ids = [0x7000000000000000, 0x7FFFFFFFFFFFFFFF,
+           0x3000000000000000,
+           0xB000000000000000 - (1 << 64),   # face 5 level 0 (signed)
+           0xBFFFFFFFFFFFFFFF - (1 << 64)]
+    df = spark.createDataFrame([(i,) for i in ids], "c long")
+    df.createOrReplaceTempView("sql_edge_cells")
+    got = spark.sql("""
+        SELECT c, s2_range_min(c) AS rmin, s2_range_max(c) AS rmax,
+               s2_contains(c, c) AS cont_self,
+               s2_intersects(c, c) AS inter_self
+        FROM sql_edge_cells""")
+    exp = df.select(
+        "c", CC.range_min("c").alias("rmin"),
+        CC.range_max("c").alias("rmax"),
+        CC.contains(F.col("c"), F.col("c")).alias("cont_self"),
+        F.lit(True).alias("inter_self"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+
 def test_sql_fns_are_inlined_not_python(spark, cells):
     """the SQL-function bodies must inline into codegen — no
     BatchEvalPython / ArrowEvalPython node in the plan."""
