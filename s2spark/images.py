@@ -335,11 +335,6 @@ def phash_neardup_pairs(images: DataFrame,
     across reducers with the output unchanged (VERDICT r3 item 3).
     Output (i1, i2, hamming), deduped across bands.
     """
-    from s2spark.text import banded_hamming_pairs
-    n_bands = max_hamming + 1
-    assert 64 % n_bands == 0, "band width must divide 64"
-    band_bits = 64 // n_bands
-    mask = (1 << band_bits) - 1
     # persist the (id, phash) projection: the band self-join has two
     # scans of it, and without the persist each side re-runs the full
     # upstream (payload decode at 100 TB; synth generation here). The
@@ -350,6 +345,21 @@ def phash_neardup_pairs(images: DataFrame,
     # plan, so repeat calls (image_components, a second bench pass)
     # reuse ONE bounded entry rather than stacking new ones.
     sig = images.select("image_id", "phash").persist()
+    return _phash_pairs_from_sig(sig, max_hamming)
+
+
+def _phash_pairs_from_sig(sig: DataFrame,
+                          max_hamming: int = PHASH_HAMMING_MAX
+                          ) -> DataFrame:
+    """core of :func:`phash_neardup_pairs` over a prebuilt (and
+    typically persisted) (image_id, phash) projection — split out so
+    :func:`image_components` can share ONE cached projection with the
+    pair generation instead of re-running the upstream per scan."""
+    from s2spark.text import banded_hamming_pairs
+    n_bands = max_hamming + 1
+    assert 64 % n_bands == 0, "band width must divide 64"
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
     parts = [
         sig.select(
             F.col("image_id").alias("id"), F.col("phash").alias("sig"),
@@ -370,7 +380,9 @@ MM_TEMPLATE_CAP = 25   # max images kept per caption template
 
 def multimodal_dedup(images: DataFrame,
                      per_template_cap: int = MM_TEMPLATE_CAP,
-                     components: DataFrame | None = None) -> DataFrame:
+                     components: DataFrame | None = None,
+                     id_bounds: tuple[int, int] | None = None
+                     ) -> DataFrame:
     """CROSS-MODAL curation — the image+caption joint dedup a
     multimodal training pipeline runs: an image survives only if it is
     (a) the canonical of its VISUAL near-dup cluster (phash
@@ -398,10 +410,17 @@ def multimodal_dedup(images: DataFrame,
     from s2spark.text import md5_int64
     from s2spark.windows import bucketed_row_number
 
+    # ONE persisted 3-column projection feeds the visual side (via
+    # image_components' own sub-projection cache lookup) AND the
+    # caption side (r6): previously each side re-ran the full image
+    # upstream. ``id_bounds`` forwards a known numeric-suffix range to
+    # bucketed_row_number, skipping its min/max probe job (VERDICT r5
+    # item 4; stale/clamped bounds are rank-exact, tests pin it).
+    base = images.select("image_id", "phash", "caption").persist()
     comp = (components if components is not None
-            else image_components(images))
+            else image_components(base))
     tpl = F.regexp_replace("caption", "[0-9]+", "#")
-    cap = images.select("image_id", md5_int64(tpl).alias("tpl_hash"))
+    cap = base.select("image_id", md5_int64(tpl).alias("tpl_hash"))
     # coalesce the surrogate: an id with no digits yields NULL here and
     # width_bucket(NULL) would silently drop the row at the bucket join
     # (ADVICE r5 item 2) — bucket 0 keeps it, and exactness only needs
@@ -409,7 +428,7 @@ def multimodal_dedup(images: DataFrame,
     id_num = F.coalesce(
         F.regexp_replace("image_id", "[^0-9]", "").cast("long"), F.lit(0))
     cap = bucketed_row_number(cap, ["tpl_hash"], id_num, ["image_id"],
-                              rank_name="tpl_rank")
+                              bounds=id_bounds, rank_name="tpl_rank")
     return comp.join(cap, "image_id").select(
         "image_id", "canonical_id", "tpl_hash", "tpl_rank",
         ((F.col("image_id") == F.col("canonical_id"))
@@ -441,10 +460,16 @@ def image_components(images: DataFrame,
     of recomputing (VERDICT r4 item 6). Output (image_id,
     canonical_id)."""
     from s2spark.text import _components
+    # ONE persisted (image_id, phash) projection feeds the pair
+    # generation AND the id universe (r6): the old shape derived `ids`
+    # from a fresh images.select, whose canonical plan did not match
+    # the pair side's cached projection, so the full upstream (payload
+    # decode at 100 TB; synth generation here) ran one extra time.
+    sig = images.select("image_id", "phash").persist()
     if pairs is None:
-        pairs = phash_neardup_pairs(images, max_hamming)
+        pairs = _phash_pairs_from_sig(sig, max_hamming)
     pairs = pairs.select(F.col("i1").alias("d1"),
                          F.col("i2").alias("d2"))
-    ids = images.select(F.col("image_id").alias("doc_id")).distinct()
+    ids = sig.select(F.col("image_id").alias("doc_id")).distinct()
     return _components(ids, pairs) \
         .select(F.col("doc_id").alias("image_id"), "canonical_id")

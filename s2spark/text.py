@@ -932,6 +932,10 @@ def _components(docs: DataFrame, pairs: DataFrame,
     rounds instead of O(diameter) — a 10⁶-long dup chain converges in
     ~20 rounds. Raises if ``max_iters`` rounds end without a
     fixed point rather than silently returning partial labels."""
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("S2_CC_DEBUG")
+    _t0 = _time.time()
     e = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     # edges materialize EAGERLY (several rounds re-read them; the pair
     # generation upstream — LSH/banding — should run once); labels and
@@ -949,28 +953,39 @@ def _components(docs: DataFrame, pairs: DataFrame,
     nodes = edges.select(F.col("a").alias("doc_id")).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")) \
         .localCheckpoint(eager=False)
+    if _dbg:
+        print(f"[cc] edges checkpoint sec={_time.time()-_t0:.2f}",
+              flush=True)
     converged = False
     for _ in range(max_iters):
+        _t0 = _time.time()
         nbr_min = edges.join(labels, edges["b"] == labels["doc_id"]) \
             .groupBy(F.col("a").alias("doc_id")) \
             .agg(F.min("label").alias("nbr_label"))
-        new_labels = labels.join(nbr_min, "doc_id", "left").select(
-            "doc_id",
+        lowered = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id", F.col("label").alias("_old"),
             F.least("label", F.coalesce("nbr_label", "label"))
             .alias("label"))
         # pointer doubling: label ← label[label]. Labels are doc_ids,
         # so the jump table is the labels table re-keyed; one extra
         # hash join per round halves the remaining path length.
-        jump = new_labels.select(F.col("doc_id").alias("label"),
-                                 F.col("label").alias("jump_label"))
-        new_labels = new_labels.join(jump, "label", "left").select(
+        jump = lowered.select(F.col("doc_id").alias("label"),
+                              F.col("label").alias("jump_label"))
+        # r6: the change flag rides INSIDE the checkpointed round
+        # result (labels only ever decrease), so convergence is a scan
+        # of the fresh checkpoint instead of an extra new-vs-old
+        # shuffle join per round
+        new_labels = lowered.join(jump, "label", "left").select(
             "doc_id",
             F.least("label", F.coalesce("jump_label", "label"))
-            .alias("label")).localCheckpoint(eager=False)
-        changed = new_labels.alias("n") \
-            .join(labels.alias("o"), "doc_id") \
-            .where(F.col("n.label") != F.col("o.label")).isEmpty()
-        labels = new_labels
+            .alias("label"), "_old") \
+            .withColumn("_chg", F.col("label") != F.col("_old")) \
+            .drop("_old").localCheckpoint(eager=False)
+        changed = new_labels.where("_chg").isEmpty()
+        labels = new_labels.drop("_chg")
+        if _dbg:
+            print(f"[cc] round sec={_time.time()-_t0:.2f} "
+                  f"converged={changed}", flush=True)
         if changed:  # isEmpty() True == nothing changed
             converged = True
             break
