@@ -301,9 +301,11 @@ def _q_pip_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2spark import plan as P
     cov_rows, params = _coverings()
     pts = FX.points_df(spark, sf_dir)
-    counts = P.bucket_counts(pts, bucket_level=8)
-    salts = P.hot_bucket_salts(counts)
-    strategy = P.choose_pip_strategy(len(cov_rows), salts)
+    # r6: probe point skew only when the covering cannot broadcast —
+    # on the broadcast path the probe pass over the point table is
+    # pure cost (P.choose_pip_plan; decisions unchanged)
+    strategy, salts = P.choose_pip_plan(pts, len(cov_rows),
+                                        bucket_level=8)
     cov_df = J.coverings_df(spark, cov_rows, bucket_level=8)
     if strategy == "bucketed":
         return J.pip_join_bucketed(pts, cov_df, params, bucket_level=8)

@@ -103,3 +103,20 @@ def choose_pip_strategy(n_exploded_covering: int,
     if n_exploded_covering <= BROADCAST_COVERING_LIMIT:
         return "bucketed"
     return "salted_targeted" if salt_map else "salted"
+
+
+def choose_pip_plan(points: DataFrame, n_exploded_covering: int,
+                    bucket_level: int,
+                    sample_fraction: float | None = 0.05
+                    ) -> tuple[str, dict[int, int]]:
+    """strategy + salt map in one call, running the sampled skew probe
+    ONLY when the covering cannot broadcast (r6, guide §1.2): on the
+    broadcast-hash path the probe is pure cost — point skew cannot
+    change the choice, because a broadcast join has no shuffle to
+    salt. Identical decisions to probing first, one fewer pass over
+    the point table on the common path."""
+    if n_exploded_covering <= BROADCAST_COVERING_LIMIT:
+        return "bucketed", {}
+    counts = bucket_counts(points, bucket_level, sample_fraction)
+    salts = hot_bucket_salts(counts)
+    return ("salted_targeted" if salts else "salted"), salts
