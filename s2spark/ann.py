@@ -241,6 +241,38 @@ def _ivf_cell_col():
     return (-F.array_max(_ivf_dot_structs())["nc"]).cast("int")
 
 
+def _ivf_cells_np(emb_series):
+    """(N,) int32 IVF cell via batched numpy — float-bit-identical to
+    the interpreted Column fold: per-index ordered accumulation of
+    w_i * double(x_i) (same IEEE op sequence as `acc + x*y`), argmax
+    first-occurrence == the struct-max lowest-index tie-break."""
+    import numpy as np
+
+    cents = np.array(ivf_centroids(), dtype=np.float64)   # (C, DIM)
+    ev = np.vstack([np.asarray(e, dtype=np.float64)
+                    for e in emb_series])                 # (N, DIM)
+    d = np.zeros((ev.shape[0], cents.shape[0]), dtype=np.float64)
+    for i in range(DIM):                                  # ordered fold
+        d += ev[:, i][:, None] * cents[:, i][None, :]
+    return d.argmax(axis=1).astype("int32")
+
+
+def _ivf_cell_udf():
+    """pandas UDF twin of :func:`_ivf_cell_col` for the DATABASE side
+    (r6, guide §4.2): higher-order zip_with/aggregate folds are
+    interpreted, not codegen — 16 centroids × 64 dims is ~2k
+    interpreter nodes per row, ~100× a batched numpy pass. The tiny
+    query side keeps the Column form (it needs the full sorted dot
+    array for probes)."""
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _cells(emb: pd.Series) -> pd.Series:
+        return pd.Series(_ivf_cells_np(emb))
+
+    return _cells
+
+
 def _ivf_cell_sql() -> str:
     """DuckDB twin: list_max over {'d':…,'nc':…} structs — struct
     comparison is lexicographic in both engines (DuckDB's scalar
@@ -259,7 +291,7 @@ def ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key (the brief's 'IVF variant as the scale path': cell
     assignment is a projection, candidate search a cell equi-join)."""
     return _emb(spark, sf_dir).select(
-        "vec_id", _ivf_cell_col().alias("ivf_cell"))
+        "vec_id", _ivf_cell_udf()(F.col("embedding")).alias("ivf_cell"))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str,
@@ -556,7 +588,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str,
     # shared attributes and the pandas-UDF columns can then bind to
     # the wrong side at runtime (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
     db = _emb(spark, sf_dir) \
-        .select("vec_id", _ivf_cell_col().alias("ivf_cell"),
+        .select("vec_id",
+                _ivf_cell_udf()(F.col("embedding")).alias("ivf_cell"),
                 _pq_codes_udf()(F.col("embedding")).alias("codes"))
     q = _emb(spark, sf_dir).where(F.col("vec_id") < N_QUERIES)
     # per-query LUT[m][c] = ||sub_m(q) - cb[m][c]||² (batched numpy,
