@@ -138,47 +138,41 @@ def _ngram_jaccard_pairs(sh: DataFrame) -> DataFrame:
     """core over a prebuilt (doc_id, sh) shingle table (testable with
     synthetic skew).
 
-    r6 (the banded_hamming_pairs probe-gate pattern, VERDICT r4
-    item 1): persist the shingle table ONCE — sizes, the skew probe,
-    and both join sides previously re-ran the whole shingle
-    derivation (tokenize + explode + distinct, a corpus pass each) —
-    then probe for hot shingles and only pay the salt machinery
-    (per-row left join + explode replication) when one exists. On
-    healthy corpora the join is a plain band-key equi-join; output is
-    identical either way because the probe feeds the same hot table
-    the salted path always used."""
-    sh = sh.persist()
+    r6 measured and REJECTED two "obvious" optimizations here, both
+    of which lost to this shape at bench scale (fresh-session A/B,
+    min-of-reps): (a) persisting ``sh`` — sizes/hot/both join sides
+    then read one cache, but the eager materialization serializes
+    work the un-persisted plan runs as four cheap parallel subtree
+    copies inside ONE job, and the accurate cache stats flip the
+    pair self-join to a driver-built 260k-row broadcast (2.9s →
+    3.9s); (b) probe-gating the salt machinery the
+    banded_hamming_pairs way — with no hot shingle the machinery
+    already degenerates to factor=1 (empty broadcast + 1-element
+    explode), so the probe job bought nothing and cost ~1s. At
+    100 TB, where the upstream IS expensive, callers should persist
+    the shingle table themselves and accept the join-hint
+    implications; the salted shape itself is scale-right either way.
+    """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = sh.groupBy("sh").agg(F.count("*").alias("df_n")) \
         .where(F.col("df_n") > NGRAM_SALT_TARGET) \
         .select("sh", F.least(
             F.ceil(F.col("df_n") / F.lit(NGRAM_SALT_TARGET)),
             F.lit(NGRAM_MAX_SALT)).cast("int").alias("salt_factor"))
-    if hot.isEmpty():
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id"))) \
-            .groupBy(F.col("a.doc_id").alias("d1"),
-                     F.col("b.doc_id").alias("d2")) \
-            .agg(F.count("*").alias("inter"))
-    else:
-        shf = sh.join(F.broadcast(hot), "sh", "left") \
-            .withColumn("salt_factor",
-                        F.coalesce("salt_factor", F.lit(1)))
-        a = shf.withColumn(
-            "salt",
-            F.pmod(F.hash("doc_id"), F.col("salt_factor"))).alias("a")
-        b = shf.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0),
-                                         F.col("salt_factor")
-                                         - F.lit(1)))) \
-            .alias("b")
-        inter = a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                       & (F.col("a.salt") == F.col("b.salt"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id"))) \
-            .groupBy(F.col("a.doc_id").alias("d1"),
-                     F.col("b.doc_id").alias("d2")) \
-            .agg(F.count("*").alias("inter"))
+    shf = sh.join(F.broadcast(hot), "sh", "left") \
+        .withColumn("salt_factor", F.coalesce("salt_factor", F.lit(1)))
+    a = shf.withColumn(
+        "salt", F.pmod(F.hash("doc_id"), F.col("salt_factor"))).alias("a")
+    b = shf.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0),
+                                     F.col("salt_factor") - F.lit(1)))) \
+        .alias("b")
+    inter = a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.salt") == F.col("b.salt"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))) \
+        .groupBy(F.col("a.doc_id").alias("d1"),
+                 F.col("b.doc_id").alias("d2")) \
+        .agg(F.count("*").alias("inter"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return inter \
