@@ -109,6 +109,11 @@ def windowed_tile_user_sketch(events: DataFrame,
 def run_user_sketch_to_memory(spark: SparkSession, events_dir: str,
                               name: str = "tile_user_sketch"
                               ) -> DataFrame:
+    """TEST-ONLY runner (ADVICE r5): outputMode('complete') keeps
+    every window ever seen in the memory sink, so total state grows
+    with the window count even though per-group state is bounded. A
+    production deployment should use append/update mode so the
+    watermark actually evicts closed windows."""
     q = windowed_tile_user_sketch(read_events_stream(spark, events_dir)) \
         .writeStream.format("memory").queryName(name) \
         .outputMode("complete").trigger(availableNow=True).start()

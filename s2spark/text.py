@@ -1196,9 +1196,15 @@ def banded_hamming_pairs(bands: DataFrame, max_hamming: int,
       the brute-force oracle, is unchanged (tests/test_band_salting).
 
     The persist is intentionally left for the session: the returned
-    DataFrame is lazy, and Spark's cache manager dedupes by
-    canonicalized plan, so repeat calls reuse one bounded entry.
-    Output (d1, d2, hamming), deduped across bands.
+    DataFrame is lazy (an unpersist here would run before the caller
+    consumes it), and Spark's cache manager dedupes by canonicalized
+    plan, so repeat calls over the SAME input reuse one bounded
+    entry. Caveat (ADVICE r5): calls over *different* inputs in one
+    long-lived session each add an entry — the storage level is
+    MEMORY_AND_DISK (the DataFrame.persist default), so stale entries
+    spill rather than OOM, and a multi-dataset pipeline should call
+    ``spark.catalog.clearCache()`` (or unpersist after materializing)
+    between datasets. Output (d1, d2, hamming), deduped across bands.
     """
     bands = bands.persist()
     hot = bands.groupBy("band", "band_key") \
