@@ -96,12 +96,27 @@ def build_interval_index(covering_rows: list[tuple]) -> RK.IntervalIndex:
     return RK.IntervalIndex(starts, ends, rids, interior)
 
 
+_COVDF_CACHE: dict = {}
+
+
 def coverings_df(spark: SparkSession, covering_rows: list[tuple],
                  bucket_level: int = BUCKET_LEVEL) -> DataFrame:
     """covering rows -> DataFrame keyed by coarse bucket for the
     shuffle join: (region_id, cell_id, range_min_s, range_max_s,
     interior, bucket). Cells coarser than the bucket level are exploded
-    into their bucket-level descendants."""
+    into their bucket-level descendants.
+
+    Memoized per (session, rows content, level) — r6: the ~24k-row
+    bucket explosion plus createDataFrame's row-by-row pickling cost
+    ~0.3s per CALL inside every PIP query; the covering is a pure
+    function of fixture constants, so repeat calls in one process
+    reuse the same local-relation DataFrame (the _COV_CACHE
+    precedent — a side-input constant, not a result)."""
+    key = (id(spark.sparkContext), bucket_level,
+           hash(tuple(covering_rows)))
+    hit = _COVDF_CACHE.get(key)
+    if hit is not None:
+        return hit
     out = []
     for rid, cid, interior in covering_rows:
         rmin_s = _sortable(cid_range_min(cid))
@@ -122,7 +137,9 @@ def coverings_df(spark: SparkSession, covering_rows: list[tuple],
             out.append((rid, cid_s, rmin_s, rmax_s, bool(interior), b_s))
     schema = ("region_id long, cell_id long, range_min_s long, "
               "range_max_s long, interior boolean, bucket long")
-    return spark.createDataFrame(out, schema)
+    df = spark.createDataFrame(out, schema)
+    _COVDF_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
