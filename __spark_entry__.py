@@ -106,9 +106,15 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lat, lng)); kernel bit-exactness separately anchored by the
     s2sphere README golden tokens."""
     pts = J.with_cell_id(FX.points_df(spark, sf_dir))
+    # r6 (guide §2.3, shuffle fewer bytes): aggregate on the LONG tile
+    # id and tokenize after — the old shape shuffled a ~16-char string
+    # per row and ran the token regex once per point instead of once
+    # per tile; token() is injective on valid ids, so the groups (and
+    # the output set) are identical.
     return pts.withColumn("tile_id", CC.parent("cell_id", 12)) \
-        .groupBy(CC.token("tile_id").alias("tile_token")) \
-        .agg(F.count("*").alias("n_points"))
+        .groupBy("tile_id") \
+        .agg(F.count("*").alias("n_points")) \
+        .select(CC.token("tile_id").alias("tile_token"), "n_points")
 
 
 def _q_cell_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,69 +680,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from s2spark import ann as A
     from s2spark import text as T
     raw = {
-        # r5 rotation (VERDICT r4 item 5): the driver certifies the
-        # FIRST 50 keys, so the window leads with the keys LONGEST
-        # uncertified — the 5 last green in r2, then the 18 last green
-        # in r3, then this round's new + changed queries; the tail is
-        # r4-certified rows. Every registry key is then certified
-        # within the last two rounds.
-        # --- last driver-certified in r2 ---
-        "image_tile_stats_exact": _q_image_tile_stats_exact,
-        "pricing_summary": _q_pricing_summary,
-        "tile_setops": _q_tile_setops,
-        "top_customers": _q_top_customers,
-        "top_tiles": _q_top_tiles,
-        # --- last driver-certified in r3 ---
-        "ann_ivf_recall": _q_ann_ivf_recall,
-        "ann_lsh_buckets": A.lsh_buckets,
-        "cell_children": _q_cell_children,
-        "cellunion_intersect": _q_cellunion_intersect,
-        "dedup_exact": T.dedup_exact,
-        "dedup_ngram_jaccard": T.ngram_jaccard_pairs,
-        "fingerprint": T.fingerprint,
-        "image_components": _q_image_components,
-        "lang_id": T.lang_id,
-        "neighbors": _q_neighbors,
-        "pii_scan": _q_pii_scan,
-        "simhash": T.simhash,
-        "stratified_sample": _q_stratified_sample,
-        "tile_enumerate": _q_tile_enumerate,
-        "tile_rollup": _q_tile_rollup,
-        "token_count": T.token_count,
-        "token_roundtrip": _q_knn_tokens,
-        "vertex_neighbors": _q_vertex_neighbors,
-        # --- new in r5 (HLL rollup + its exact-twin gate) ---
-        "tile_rollup_sketch": _q_tile_rollup_sketch,
-        "tile_rollup_sketch_exact": _q_tile_rollup_sketch_exact,
-        # --- changed in r5 (de-skew / salt-probe / bounded fallback) ---
-        "multimodal_dedup": _q_multimodal_dedup,
-        "dedup_keep_best": T.dedup_keep_best,
-        "image_phash_neardup": _q_image_phash_neardup,
-        "simhash_pairs": T.simhash_pairs,
-        "knn": _q_knn,
-        "knn_many": _q_knn_many,
-        # --- r4-certified fill (composition siblings + ANN/image) ---
-        "dedup_components": _q_dedup_components,
-        "corpus_curation": _q_corpus_curation,
-        "dedup_minhash_lsh": T.minhash_lsh_pairs,
-        "decontaminate": T.decontaminate,
-        "repetition_ratio": T.repetition_ratio,
-        "distance_join": _q_distance_join,
-        "embedding_components": _q_embedding_components,
-        "embedding_similar_pairs": A.embedding_cosine_dedup,
-        "ann_bruteforce": A.ann_bruteforce_topk,
-        "ann_lsh": A.ann_lsh_topk,
-        "ann_ivf_buckets": _q_ann_ivf_buckets,
-        "ann_ivf": _q_ann_ivf,
-        "pq_codes": _q_pq_codes,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
-        "image_verify": _q_image_verify,
-        "image_resize": _q_image_resize,
-        "image_pip": _q_image_pip,
-        "image_tile_stats": _q_image_tile_stats,
-        # --- tail (beyond the driver's 50-row cap): all certified in
-        # the r4 driver window ---
+        # r6 rotation (VERDICT r5 item 5): the driver certifies the
+        # FIRST 50 keys, so the window leads with the 25 keys whose
+        # last driver certification is OLDEST (the r4-era tail), then
+        # the 15 queries whose internals changed in this optimization
+        # round (so the perf work is re-certified post-change), then
+        # r5-certified fill; the tail is all r5-certified rows.
+        # --- last driver-certified in r4 ---
         "tile_assign": _q_tile_assign,
         "cell_algebra": _q_cell_algebra,
         "bigram_model": _q_bigram_model,
@@ -762,6 +712,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs": _q_event_pairs,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "token_quantiles": _q_token_quantiles,
+        # --- internals changed in r6 (knn restructure, components
+        # round fusion, shared image projection, IVF numpy cell
+        # assignment, covering memo) — outputs unchanged, recertify ---
+        "knn": _q_knn,
+        "knn_many": _q_knn_many,
+        "multimodal_dedup": _q_multimodal_dedup,
+        "dedup_keep_best": T.dedup_keep_best,
+        "image_phash_neardup": _q_image_phash_neardup,
+        "dedup_minhash_lsh": T.minhash_lsh_pairs,
+        "dedup_components": _q_dedup_components,
+        "image_components": _q_image_components,
+        "embedding_components": _q_embedding_components,
+        "corpus_curation": _q_corpus_curation,
+        "ann_ivf_buckets": _q_ann_ivf_buckets,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "ann_ivfpq_recall": _q_ann_ivfpq_recall,
+        # --- r5-certified fill ---
+        "cell_children": _q_cell_children,
+        "cellunion_intersect": _q_cellunion_intersect,
+        "dedup_exact": T.dedup_exact,
+        "dedup_ngram_jaccard": T.ngram_jaccard_pairs,
+        "simhash": T.simhash,
+        "simhash_pairs": T.simhash_pairs,
+        "distance_join": _q_distance_join,
+        "tile_rollup_sketch": _q_tile_rollup_sketch,
+        "tile_rollup_sketch_exact": _q_tile_rollup_sketch_exact,
+        "tile_rollup": _q_tile_rollup,
+        # --- tail (beyond the driver's 50-row cap): all certified in
+        # the r5 driver window ---
+        "image_tile_stats_exact": _q_image_tile_stats_exact,
+        "pricing_summary": _q_pricing_summary,
+        "tile_setops": _q_tile_setops,
+        "top_customers": _q_top_customers,
+        "top_tiles": _q_top_tiles,
+        "ann_lsh_buckets": A.lsh_buckets,
+        "fingerprint": T.fingerprint,
+        "lang_id": T.lang_id,
+        "neighbors": _q_neighbors,
+        "pii_scan": _q_pii_scan,
+        "stratified_sample": _q_stratified_sample,
+        "tile_enumerate": _q_tile_enumerate,
+        "token_count": T.token_count,
+        "token_roundtrip": _q_knn_tokens,
+        "vertex_neighbors": _q_vertex_neighbors,
+        "decontaminate": T.decontaminate,
+        "repetition_ratio": T.repetition_ratio,
+        "embedding_similar_pairs": A.embedding_cosine_dedup,
+        "ann_bruteforce": A.ann_bruteforce_topk,
+        "ann_lsh": A.ann_lsh_topk,
+        "pq_codes": _q_pq_codes,
+        "image_verify": _q_image_verify,
+        "image_resize": _q_image_resize,
+        "image_pip": _q_image_pip,
+        "image_tile_stats": _q_image_tile_stats,
     }
     return {k: _wrap(v) for k, v in raw.items()}
 
