@@ -174,6 +174,13 @@ def correlated_event_pairs(events: DataFrame,
     if events.isStreaming:
         a = a.withWatermark("ts1", f"{window_min} minutes")
         b = b.withWatermark("ts2", f"{window_min} minutes")
+    else:
+        # batch twin: both sides shuffle on user_id either way, but a
+        # shuffled-hash build skips the two per-partition sorts the
+        # default sort-merge pays (r6 A/B: 0.97 -> 0.64 s at sf0.1);
+        # per-partition build side = one user-id hash slice, the same
+        # scale envelope as the SMJ partition
+        b = b.hint("shuffle_hash")
     cond = ((a["user_id"] == b["user_id_b"])
             & (F.col("e1") < F.col("e2"))
             & (F.col("ts2") >= F.col("ts1") - iv)

@@ -1076,7 +1076,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
     comp = (components if components is not None
             else dedup_components(spark, sf_dir))
     q = quality_score(spark, sf_dir).select("doc_id", "quality")
-    j = comp.join(q, "doc_id")
+    # comp is checkpoint-shaped (no stats) so Catalyst sort-merges by
+    # default; a shuffled-hash build skips both sorts (r6 A/B:
+    # 4.2 -> 3.8 s) with the same per-partition scale envelope
+    j = comp.join(q.hint("shuffle_hash"), "doc_id")
     order = [F.desc("quality"), F.asc("doc_id")]
     w1 = Window.partitionBy("canonical_id", "salt").orderBy(*order)
     w2 = Window.partitionBy("canonical_id").orderBy(*order)
