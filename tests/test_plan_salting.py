@@ -26,6 +26,22 @@ def test_targeted_salting_equivalence(spark, sf_dir):
     assert got0 == ref
 
 
+def test_targeted_salting_df_salt_map(spark, sf_dir):
+    """the DataFrame salt-map form (scale path, no driver dict —
+    VERDICT r5 item 6) must produce the identical join output."""
+    cov_rows = J.compute_coverings(FX.region_objects())
+    params = FX.region_params()
+    pts = FX.points_df(spark, sf_dir)
+    cov_df = J.coverings_df(spark, cov_rows, bucket_level=4)
+    hot = P.hot_bucket_salts_df(pts, bucket_level=4,
+                                sample_fraction=None)
+    got = sorted((r[0], r[1]) for r in P.pip_join_salted_targeted(
+        pts, cov_df, params, hot, bucket_level=4).collect())
+    ref = sorted((r[0], r[1]) for r in J.pip_join_broadcast(
+        pts, cov_rows, params).collect())
+    assert got == ref
+
+
 def test_hot_bucket_detection_on_skewed_points(spark):
     """the bench generator's hot-city mix must trip the detector."""
     import bench
