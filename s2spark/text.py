@@ -1023,8 +1023,12 @@ def _components(docs: DataFrame, pairs: DataFrame,
         raise RuntimeError(
             f"dedup_components did not converge in {max_iters} rounds "
             "(near-dup chain diameter > 2^rounds); raise max_iters")
-    return docs.join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce("label", "doc_id").alias("canonical_id"))
+    # shuffled-hash build on the (smaller, checkpoint-shaped) label
+    # table: both sides shuffle on doc_id either way, the hint skips
+    # the two per-partition sorts a stat-less SMJ would pay
+    return docs.join(labels.hint("shuffle_hash"), "doc_id", "left") \
+        .select("doc_id",
+                F.coalesce("label", "doc_id").alias("canonical_id"))
 
 
 def dedup_components_sql() -> str:
