@@ -696,7 +696,6 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
                 .otherwise(F.lit(esc)).alias("rings"),
                 proven.alias("proven")) \
                 .localCheckpoint(eager=False)
-            has_bounded = not plan.where("proven").isEmpty()
             bq = q.join(F.broadcast(plan), "query_id")
             cand = bq.select(
                 "query_id", "proven",
@@ -724,7 +723,20 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
             out_parts.append(_topk(fb, done_fb))
             rem = active.join(F.broadcast(done_fb), "query_id",
                               "left_anti")
-            has_unb = not rem.isEmpty()
+            # BOTH fallback flags in ONE action (r6): the any-proven
+            # scalar and the any-remainder scalar ride one unioned
+            # agg, so the pass costs a single driver job instead of
+            # two isEmpty probes (the job also materializes fb's
+            # persist)
+            probe = plan.select(
+                F.lit(0).alias("k"),
+                F.col("proven").cast("int").alias("v")) \
+                .unionAll(rem.select(F.lit(1).alias("k"),
+                                     F.lit(1).alias("v"))) \
+                .groupBy("k").agg(F.max("v").alias("m")).collect()
+            fl = {row["k"]: row["m"] for row in probe}
+            has_bounded = fl.get(0, 0) == 1
+            has_unb = 1 in fl
             LAST_KNN_FALLBACK = {
                 "bounded": has_bounded, "unbounded": has_unb}
             if _dbg:
