@@ -112,7 +112,10 @@ def coverings_df(spark: SparkSession, covering_rows: list[tuple],
     function of fixture constants, so repeat calls in one process
     reuse the same local-relation DataFrame (the _COV_CACHE
     precedent — a side-input constant, not a result)."""
-    key = (id(spark.sparkContext), bucket_level,
+    # applicationId, not id(sc): a stopped context's id() can be
+    # reused by a later session in the same process, and handing that
+    # session a dead DataFrame would crash — appIds are per-app unique
+    key = (spark.sparkContext.applicationId, bucket_level,
            hash(tuple(covering_rows)))
     hit = _COVDF_CACHE.get(key)
     if hit is not None:
