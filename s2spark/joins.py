@@ -592,6 +592,10 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
         print(f"[knn] setup sec={_time.time()-_te:.2f}", flush=True)
     r = 0          # cumulative ring radius (certification bound)
     g = 0          # driver round counter
+    certified_all = False  # last round's isEmpty said no stragglers
+    deferred = False       # last possible round: isEmpty SKIPPED, the
+    #                        fallback resolves (possibly zero)
+    #                        stragglers lazily in its own single action
     cached = []    # per-round persisted ranked sets (released at end)
     out_parts = [] # top-k slices, EMITTED the round a query certifies:
     #                a certified query's seen disk never grows again,
@@ -645,15 +649,31 @@ def knn_join_df(points: DataFrame, queries: DataFrame,
         out_parts.append(_topk(ranked, satisfied))
         active = active.join(satisfied, "query_id", "left_anti") \
             .localCheckpoint(eager=False)
-        done = bound >= 4.0 or active.isEmpty()
+        if bound >= 4.0:
+            done = True
+        elif r >= max_rounds:
+            # the loop must exit after this round either way, so the
+            # per-round isEmpty action is pure driver latency: skip it
+            # (and the post-loop straggler probe) and let the fallback
+            # resolve a possibly-EMPTY straggler set lazily — for the
+            # max_rounds=1 configuration (knn_many) this folds round-1
+            # materialization, the fallback ranking and the flags
+            # probe into ONE driver action (4 actions -> 2; A/B'd)
+            done = True
+            deferred = True
+        else:
+            done = active.isEmpty()
+            certified_all = done
         if _dbg:
             print(f"[knn] round g={g} r={r} step={step} "
-                  f"sec={_time.time()-_t0:.2f} done={done}", flush=True)
+                  f"sec={_time.time()-_t0:.2f} done={done} "
+                  f"deferred={deferred}", flush=True)
         if done:
             break
         frontier = new_tiles.join(active, "query_id", "left_semi")
 
-    if g == 0 or not active.isEmpty():
+    if g == 0 or (not certified_all
+                  and (deferred or not active.isEmpty())):
         # stragglers that never certified. bound >= pi: their last
         # ranked set already held every reachable point — emit it.
         if g > 0 and safe_chord2(r) >= 4.0:

@@ -1082,7 +1082,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str,
     q = quality_score(spark, sf_dir).select("doc_id", "quality")
     # comp is checkpoint-shaped (no stats) so Catalyst sort-merges by
     # default; a shuffled-hash build skips both sorts (r6 A/B:
-    # 4.2 -> 3.8 s) with the same per-partition scale envelope
+    # 4.2 -> 3.8 s) with the same per-partition scale envelope.
+    # NOT persisted although both the winner derivation and the final
+    # join-back consume it (documents.parquet is scanned 4x): an
+    # interleaved fresh-session A/B measured the cache consistently
+    # ~1 s SLOWER (persist=0 mins 5.26/5.32/5.41 s vs persist=1
+    # 6.12/6.54/6.56 s) — eager materialization serializes work the
+    # un-persisted plan runs as parallel subtree recomputes inside one
+    # job, the same measured lesson as dedup_ngram_jaccard's shingle
+    # table. At 100 TB, where the quality upstream dominates, a caller
+    # should persist `comp`/`quality` deliberately.
     j = comp.join(q.hint("shuffle_hash"), "doc_id")
     order = [F.desc("quality"), F.asc("doc_id")]
     w1 = Window.partitionBy("canonical_id", "salt").orderBy(*order)
